@@ -1,0 +1,174 @@
+"""Deterministic offline provider — the test-double seam for all LLM calls.
+
+The reference degrades every provider failure to echo-style mocks
+(openai_provider.py:86-94, llm_router.py:57-64). Here the mock is
+purpose-aware so the offline pipeline produces *measurable* answers:
+
+  - query_expand -> keyword-reduced paraphrase lines
+  - plan         -> numbered decomposition steps
+  - synthesize   -> the citation sentence with highest lexical overlap with
+                    the question, cited inline as [#k]
+  - factcheck    -> well-formed JSON verdict driven by citation overlap
+
+All outputs are pure functions of the prompt, so runs are reproducible.
+"""
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, List, Tuple
+
+_STOP = {
+    "a", "an", "and", "are", "as", "at", "be", "by", "did", "do", "does",
+    "for", "from", "had", "has", "have", "he", "her", "his", "in", "is",
+    "it", "its", "of", "on", "or", "she", "that", "the", "their", "they",
+    "this", "to", "was", "were", "what", "when", "where", "which", "who",
+    "whom", "whose", "why", "with", "how", "in",
+}
+
+
+def _tokenize(text: str) -> List[str]:
+    return [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+
+
+def _content_words(text: str) -> List[str]:
+    return [t for t in _tokenize(text) if t not in _STOP]
+
+
+def _parse_citations(prompt: str) -> List[Tuple[int, str]]:
+    """Extract [#k] "text" lines from a citations block in the prompt."""
+    out: List[Tuple[int, str]] = []
+    for m in re.finditer(r"\[#(\d+)\][^\"“]*[\"“](.*?)[\"”]?\s*$", prompt, re.M):
+        try:
+            out.append((int(m.group(1)), m.group(2)))
+        except ValueError:
+            continue
+    return out
+
+
+def _extract_question(prompt: str) -> str:
+    m = re.search(r"Question:\s*\n?(.+)", prompt)
+    return m.group(1).strip() if m else prompt[-200:]
+
+
+class MockProvider:
+    """Offline deterministic LLM + embedding provider."""
+
+    def __init__(self, embed_dim: int = 64, **_: Any):
+        self.embed_dim = int(embed_dim)
+
+    # ---- completion ----
+
+    def complete(self, prompt: str, **kw: Any) -> Dict[str, Any]:
+        purpose = str(kw.get("purpose") or self._sniff_purpose(prompt))
+        fn = {
+            "query_expand": self._expand,
+            "plan": self._plan,
+            "synthesize": self._synthesize,
+            "factcheck": self._factcheck,
+        }.get(purpose, self._generic)
+        text = fn(prompt)
+        return {"text": text, "tokens": len(text) // 4}
+
+    @staticmethod
+    def _sniff_purpose(prompt: str) -> str:
+        p = prompt.lower()
+        if "expand" in p and "quer" in p:
+            return "query_expand"
+        if "decompos" in p or "planner" in p:
+            return "plan"
+        if "synthesize" in p or "citations:" in p and "answer:" in p:
+            return "synthesize"
+        if "fact-check" in p or "fact checker" in p or "verdict" in p:
+            return "factcheck"
+        return "generic"
+
+    def _expand(self, prompt: str) -> str:
+        q = _extract_question(prompt) if "Question" in prompt else prompt.splitlines()[-1]
+        # fall back: last line after the task header usually holds the query
+        m = re.search(r"for:\s*\n?(.+)", prompt)
+        if m:
+            q = m.group(1).strip()
+        words = _content_words(q)
+        lines = []
+        if words:
+            lines.append(" ".join(words))
+        if len(words) > 2:
+            lines.append(" ".join(words[-3:]))
+            lines.append(" ".join(sorted(set(words))[:4]))
+        return "\n".join(dict.fromkeys(lines)) or q
+
+    _QUESTION_WORDS = {"Where", "What", "Who", "Which", "When", "Why", "How",
+                       "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do"}
+
+    def _plan(self, prompt: str) -> str:
+        q = _extract_question(prompt)
+        ents = [e for e in re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", q)
+                if e not in self._QUESTION_WORDS]
+        steps = []
+        if ents:
+            steps.append(f"1) Find facts about {ents[0]}.")
+            if len(ents) > 1:
+                steps.append(f"2) Relate {ents[0]} to {ents[-1]}.")
+        steps.append(f"{len(steps) + 1}) Answer: {' '.join(_content_words(q)[:6])}.")
+        return "\n".join(steps)
+
+    def _synthesize(self, prompt: str) -> str:
+        q = _extract_question(prompt)
+        cites = _parse_citations(prompt)
+        if not cites:
+            return "No supporting evidence available."
+        q_words = set(_content_words(q))
+        best_k, best_text, best_score = cites[0][0], cites[0][1], -1.0
+        for k, text in cites:
+            score = len(q_words & set(_tokenize(text)))
+            if score > best_score:
+                best_k, best_text, best_score = k, text, score
+        return f"{best_text} [#{best_k}]"
+
+    def _factcheck(self, prompt: str) -> str:
+        q = _extract_question(prompt)
+        m = re.search(r"Answer:\s*\n(.+?)\n\nCitations:", prompt, re.S)
+        answer = m.group(1) if m else ""
+        cites = _parse_citations(prompt)
+        a_words = set(_content_words(answer))
+        valid, noisy = [], []
+        for k, text in cites:
+            if a_words & set(_tokenize(text)):
+                valid.append(k)
+            else:
+                noisy.append(k)
+        supported = bool(valid)
+        verdict = "supported" if supported else "insufficient"
+        score = 0.9 if supported else 0.4
+        data = {
+            "core_facts": {},
+            "secondary_facts": {},
+            "facts": {
+                "core": [{"fact": answer[:120], "status": "supported" if supported else "unsupported"}],
+                "secondary": [],
+            },
+            "valid_citations": valid,
+            "noisy_citations": noisy,
+            "misleading_citations": [],
+            "verdict": verdict,
+            "score": score,
+        }
+        return json.dumps(data)
+
+    def _generic(self, prompt: str) -> str:
+        return f"[MOCK] {prompt[:120]}"
+
+    # ---- embedding ----
+
+    def embed(self, texts: List[str], **kw: Any) -> Dict[str, Any]:
+        """Deterministic hash-ngram embeddings (host numpy path).
+
+        Shares its construction with `models.hash_embed` so host-mock and
+        device-mock embeddings agree; lexically-overlapping texts get high
+        cosine similarity, making dense retrieval meaningful offline.
+        """
+        from ...models.hash_embed import hash_embed_numpy
+
+        vecs = hash_embed_numpy(list(texts), dim=self.embed_dim)
+        return {"vectors": [v.tolist() for v in vecs]}

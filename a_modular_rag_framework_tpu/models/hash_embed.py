@@ -1,0 +1,112 @@
+"""Deterministic hash-feature text encoder (the weight-free mock encoder).
+
+The reference used a 1-dim ``hash(text) % 1000`` fake embedding as its test
+fallback (edge_builder.py:47-48), which carries no lexical signal. This
+encoder is the TPU-native replacement: stable feature hashing of unigrams and
+bigrams into a ``dim``-bucket signed space, L2-normalized — so cosine
+similarity is a real lexical-overlap signal and the whole retrieval stack can
+be built, tested, and benchmarked without trained weights. The learned
+transformer encoder (`models.encoder.TextEncoder`) is a drop-in replacement
+behind the same ``encode_texts`` / ``encode_token_batch`` interface.
+
+Two paths share one construction:
+  - `hash_embed_numpy`: pure-host path (used by MockProvider);
+  - `HashEmbedEncoder`: tokenize/hash on host, scatter-accumulate + normalize
+    as one jitted device program over padded [B, L] batches.
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def tokenize(text: str) -> List[str]:
+    """Same tokenizer as the BM25 index (reference text_index.py:10-11)."""
+    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+
+
+def _features(text: str) -> List[str]:
+    toks = tokenize(text)
+    feats = list(toks)
+    feats.extend(f"{a}_{b}" for a, b in zip(toks, toks[1:]))
+    return feats
+
+
+def _bucket_sign(feat: str, dim: int) -> Tuple[int, float]:
+    h = zlib.crc32(feat.encode("utf-8"))
+    bucket = h % dim
+    sign = 1.0 if (h >> 16) & 1 else -1.0
+    return bucket, sign
+
+
+def hash_embed_numpy(texts: List[str], dim: int = 64) -> np.ndarray:
+    """Host reference path: [N, dim] float32, L2-normalized rows."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        for feat in _features(t):
+            b, s = _bucket_sign(feat, dim)
+            out[i, b] += s
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norms, 1e-9)
+
+
+class HashEmbedEncoder:
+    """Device-batched hash encoder.
+
+    Host side hashes features into ``(bucket, sign)`` pairs padded to a fixed
+    feature length; the device program scatter-accumulates and L2-normalizes
+    the batch in one fused XLA computation.
+    """
+
+    def __init__(self, dim: int = 64, max_features: int = 256):
+        self.dim = int(dim)
+        self.max_features = int(max_features)
+
+    # ---- host preprocessing ----
+
+    def featurize(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Return padded (buckets int32 [B, L], signs float32 [B, L]).
+
+        Padding rows point at bucket 0 with sign 0 (no-op contribution).
+        """
+        B, L = len(texts), self.max_features
+        buckets = np.zeros((B, L), dtype=np.int32)
+        signs = np.zeros((B, L), dtype=np.float32)
+        for i, t in enumerate(texts):
+            feats = _features(t)[:L]
+            for j, feat in enumerate(feats):
+                b, s = _bucket_sign(feat, self.dim)
+                buckets[i, j] = b
+                signs[i, j] = s
+        return buckets, signs
+
+    # ---- device program ----
+
+    @staticmethod
+    @partial(__import__("jax").jit, static_argnums=(2,))
+    def _encode(buckets, signs, dim: int):
+        import jax.numpy as jnp
+
+        B, L = buckets.shape
+        onehot_free = jnp.zeros((B, dim), dtype=jnp.float32)
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+        acc = onehot_free.at[rows.reshape(-1), buckets.reshape(-1)].add(
+            signs.reshape(-1)
+        )
+        norms = jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
+        return acc / jnp.maximum(norms, 1e-9)
+
+    def encode_token_batch(self, buckets: np.ndarray, signs: np.ndarray) -> np.ndarray:
+        return np.asarray(self._encode(buckets, signs, self.dim))
+
+    def encode_texts(self, texts: List[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        buckets, signs = self.featurize(texts)
+        return self.encode_token_batch(buckets, signs)
