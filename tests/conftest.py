@@ -7,12 +7,20 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session sitecustomize registers a remote-TPU (axon)
+# backend that wins regardless of the JAX_PLATFORMS env var; force CPU via
+# jax.config before any computation runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on local CPU devices"
 
 import sys
 from pathlib import Path

@@ -1,0 +1,285 @@
+"""Device ops vs NumPy oracles: top-k, BM25, graph expansion, fusion, semantic."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_modular_rag_framework_tpu.ops.bm25 import Bm25DeviceIndex, bm25_scores
+from a_modular_rag_framework_tpu.ops.fusion import fuse_channels, minmax_normalize
+from a_modular_rag_framework_tpu.ops.graph import (
+    build_neighbor_table,
+    expand_frontier,
+    hop_decay_table,
+)
+from a_modular_rag_framework_tpu.ops.semantic import semantic_edges
+from a_modular_rag_framework_tpu.ops.topk import dense_topk_pallas, dense_topk_xla
+from a_modular_rag_framework_tpu.models.hash_embed import tokenize
+
+
+# ---------------- oracles (independent reimplementations) ----------------
+
+
+def bm25_oracle(corpus, queries, k1=1.5, b=0.75, merge="max"):
+    """Dict-based BM25 with the reference's exact formula."""
+    tf = {}
+    doc_lens = []
+    for di, text in enumerate(corpus):
+        toks = tokenize(text)
+        doc_lens.append(len(toks))
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(di, 0)
+            tf[t][di] += 1
+    N = len(corpus)
+    avgdl = sum(doc_lens) / N if N else 0.0
+
+    def idf(t):
+        n = len(tf.get(t, {}))
+        return math.log((N - n + 0.5) / (n + 0.5) + 1.0)
+
+    def score_doc(q_terms, di):
+        s = 0.0
+        dl = doc_lens[di]
+        for t in q_terms:
+            f = tf.get(t, {}).get(di, 0)
+            if f == 0:
+                continue
+            denom = f + k1 * (1 - b + b * (dl / (avgdl or 1.0)))
+            s += idf(t) * (f * (k1 + 1)) / (denom or 1.0)
+        return s
+
+    out = np.zeros((len(queries), N), dtype=np.float64)
+    for qi, q in enumerate(queries):
+        q_terms = tokenize(q)
+        for di in range(N):
+            out[qi, di] = score_doc(q_terms, di)
+    if merge == "max":
+        return out.max(axis=0)
+    return out.sum(axis=0)
+
+
+def bfs_decay_oracle(n, edges, seeds, window):
+    """Host BFS with hop decay (reference expand_qmatch_neighbors semantics)."""
+    from collections import deque
+
+    adj = {i: set() for i in range(n)}
+    for s, t in edges:
+        adj[s].add(t)
+        adj[t].add(s)
+    dist = {s: 0 for s in seeds}
+    q = deque((s, 0) for s in seeds)
+    while q:
+        u, d = q.popleft()
+        if d >= window:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = d + 1
+                q.append((v, d + 1))
+    decay = hop_decay_table(max(window, 0))
+    scores = np.zeros(n, dtype=np.float32)
+    for u, d in dist.items():
+        scores[u] = decay[d]
+    return scores
+
+
+# ---------------- dense top-k ----------------
+
+
+def test_dense_topk_xla_matches_numpy(rng):
+    Q = rng.standard_normal((4, 32), dtype=np.float32)
+    D = rng.standard_normal((500, 32), dtype=np.float32)
+    s, i = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D), 10, precision=jax.lax.Precision.HIGHEST)
+    ref = Q @ D.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(i), ref_ids)
+    np.testing.assert_allclose(np.asarray(s), np.take_along_axis(ref, ref_ids, 1), rtol=1e-5)
+
+
+def test_dense_topk_pallas_interpret_matches_xla(rng):
+    """Pallas kernel correctness via interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = rng.standard_normal((4, 32), dtype=np.float32)
+    D = rng.standard_normal((300, 32), dtype=np.float32)  # forces padding
+    with pltpu.force_tpu_interpret_mode():
+        s_p, i_p = dense_topk_pallas(jnp.asarray(Q), jnp.asarray(D), 8, tile_n=128,
+                                     precision=jax.lax.Precision.HIGHEST)
+    s_x, i_x = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D), 8, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_dense_topk_pallas_bf16_storage(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = rng.standard_normal((2, 16), dtype=np.float32)
+    D = rng.standard_normal((128, 16), dtype=np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s_p, i_p = dense_topk_pallas(jnp.asarray(Q), jnp.asarray(D, dtype=jnp.bfloat16).astype(jnp.bfloat16), 5, tile_n=64)
+    s_x, i_x = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D).astype(jnp.bfloat16).astype(jnp.float32), 5)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+# ---------------- BM25 ----------------
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over a sleepy hound",
+    "the dog sat quietly in the sun",
+    "quantum computing uses qubits for parallel computation",
+    "the fox is quick and the fox is clever",
+    "slow green turtles walk under the warm sun",
+]
+
+
+@pytest.mark.parametrize("merge", ["max", "sum"])
+def test_bm25_matches_oracle(merge):
+    idx = Bm25DeviceIndex.build(CORPUS)
+    queries = ["quick fox", "the sun dog", "qubits"]
+    tids = idx.encode_query_terms(queries, max_terms=8)
+    dev = idx.device_arrays()
+    got = np.asarray(
+        bm25_scores(jnp.asarray(tids), dev["doc_ids"], dev["tfs"], dev["row_ptr"],
+                    dev["df"], dev["doc_lens"], n_docs=idx.n_docs, cap=16, merge=merge)
+    )
+    want = bm25_oracle(CORPUS, queries, merge=merge)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_bm25_duplicate_query_terms_count_twice():
+    idx = Bm25DeviceIndex.build(CORPUS)
+    dev = idx.device_arrays()
+    t1 = idx.encode_query_terms(["fox"], max_terms=8)
+    t2 = idx.encode_query_terms(["fox fox"], max_terms=8)
+    s1 = np.asarray(bm25_scores(jnp.asarray(t1), dev["doc_ids"], dev["tfs"], dev["row_ptr"],
+                                dev["df"], dev["doc_lens"], n_docs=idx.n_docs, cap=16))
+    s2 = np.asarray(bm25_scores(jnp.asarray(t2), dev["doc_ids"], dev["tfs"], dev["row_ptr"],
+                                dev["df"], dev["doc_lens"], n_docs=idx.n_docs, cap=16))
+    np.testing.assert_allclose(s2, 2 * s1, rtol=1e-5)
+
+
+def test_bm25_unknown_terms_score_zero():
+    idx = Bm25DeviceIndex.build(CORPUS)
+    dev = idx.device_arrays()
+    tids = idx.encode_query_terms(["zzz unknown words"], max_terms=8)
+    assert (tids == -1).all()
+    s = np.asarray(bm25_scores(jnp.asarray(tids), dev["doc_ids"], dev["tfs"], dev["row_ptr"],
+                               dev["df"], dev["doc_lens"], n_docs=idx.n_docs, cap=16))
+    assert (s == 0).all()
+
+
+# ---------------- graph expansion ----------------
+
+
+def test_expand_frontier_matches_bfs_oracle(rng):
+    n, window = 40, 3
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(60, 2)) if a != b]
+    seeds = [0, 7]
+    nbrs = build_neighbor_table(n, np.array([e[0] for e in edges]),
+                                np.array([e[1] for e in edges]), max_degree=16)
+    seed_mask = np.zeros(n, dtype=bool)
+    seed_mask[seeds] = True
+    scores, _ = expand_frontier(jnp.asarray(nbrs), jnp.asarray(seed_mask), window=window)
+    want = bfs_decay_oracle(n, edges, seeds, window)
+    np.testing.assert_allclose(np.asarray(scores), want, rtol=1e-6)
+
+
+def test_expand_frontier_window_zero_scores_only_seeds():
+    nbrs = build_neighbor_table(5, np.array([0, 1]), np.array([1, 2]), max_degree=4)
+    seed_mask = np.array([True, False, False, False, False])
+    scores, _ = expand_frontier(jnp.asarray(nbrs), jnp.asarray(seed_mask), window=0)
+    np.testing.assert_allclose(np.asarray(scores), [1, 0, 0, 0, 0])
+
+
+def test_expand_frontier_capped_matches_dense_when_cap_sufficient(rng):
+    n, window = 30, 2
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(50, 2)) if a != b]
+    nbrs = build_neighbor_table(n, np.array([e[0] for e in edges]),
+                                np.array([e[1] for e in edges]), max_degree=16)
+    seed_mask = np.zeros(n, dtype=bool)
+    seed_mask[3] = True
+    s_dense, _ = expand_frontier(jnp.asarray(nbrs), jnp.asarray(seed_mask), window=window)
+    s_cap, _ = expand_frontier(jnp.asarray(nbrs), jnp.asarray(seed_mask),
+                               window=window, frontier_cap=n)
+    np.testing.assert_allclose(np.asarray(s_cap), np.asarray(s_dense))
+
+
+def test_hop_decay_schedule():
+    np.testing.assert_allclose(hop_decay_table(5), [1.0, 0.7, 0.5, 0.4, 0.3, 0.2])
+    np.testing.assert_allclose(hop_decay_table(9)[-1], 0.1)  # floor at 0.1
+
+
+# ---------------- fusion ----------------
+
+
+def test_minmax_matches_reference_semantics():
+    s = jnp.array([1.0, 3.0, 2.0, 99.0])
+    p = jnp.array([True, True, True, False])
+    out = np.asarray(minmax_normalize(s, p))
+    np.testing.assert_allclose(out, [0.0, 1.0, 0.5, 0.0])
+    # degenerate pool -> all zeros (reference _minmax_norm)
+    out = np.asarray(minmax_normalize(jnp.array([2.0, 2.0]), jnp.array([True, True])))
+    np.testing.assert_allclose(out, [0.0, 0.0])
+
+
+def test_fuse_channels_oracle():
+    # 3 channels over 6 docs; mirror the reference fuse loop by hand
+    text = np.array([0.0, 5.0, 2.0, 0.0, 1.0, 0.0])
+    text_p = np.array([False, True, True, False, True, False])
+    graph = np.array([0.7, 0.0, 1.0, 0.0, 0.0, 0.5])
+    graph_p = np.array([True, False, True, False, False, True])
+    dense = np.array([0.1, 0.9, 0.0, 0.0, 0.4, 0.0])
+    dense_p = np.array([True, True, False, False, True, False])
+    alphas = np.array([0.4, 0.2, 0.4], dtype=np.float32)
+
+    def norm(v, p):
+        vals = v[p]
+        if len(vals) == 0 or vals.max() <= vals.min():
+            return np.zeros_like(v)
+        out = np.where(p, (v - vals.min()) / (vals.max() - vals.min()), 0.0)
+        return out
+
+    want = alphas[0] * norm(text, text_p) + alphas[1] * norm(graph, graph_p) + alphas[2] * norm(dense, dense_p)
+    union = text_p | graph_p | dense_p
+
+    top_s, top_i, _ = fuse_channels(
+        jnp.asarray(np.stack([text, graph, dense]), dtype=jnp.float32),
+        jnp.asarray(np.stack([text_p, graph_p, dense_p])),
+        jnp.asarray(alphas),
+        k=6,
+    )
+    top_s, top_i = np.asarray(top_s), np.asarray(top_i)
+    # doc 3 is in no pool -> must be padded out
+    assert 3 not in top_i.tolist() or top_i.tolist().index(3) >= union.sum()
+    for s, i in zip(top_s, top_i):
+        if i >= 0:
+            np.testing.assert_allclose(s, want[i], rtol=1e-5)
+    # ranking matches
+    want_order = np.argsort(-want[union.nonzero()[0]])
+    got_valid = [i for i in top_i if i >= 0]
+    assert got_valid == [int(union.nonzero()[0][j]) for j in want_order][: len(got_valid)]
+
+
+# ---------------- semantic edges ----------------
+
+
+def test_semantic_edges_matches_pairwise_cosine(rng):
+    emb = rng.standard_normal((12, 8)).astype(np.float32)
+    emb[3] = 0.0  # zero-norm row must produce no edges
+    thr = 0.3
+    got = {(i, j): s for i, j, s in semantic_edges(emb, threshold=thr)}
+    for i in range(12):
+        for j in range(i + 1, 12):
+            ni, nj = np.linalg.norm(emb[i]), np.linalg.norm(emb[j])
+            sim = 0.0 if ni == 0 or nj == 0 else float(emb[i] @ emb[j] / (ni * nj))
+            if sim >= thr and ni > 0 and nj > 0:
+                assert (i, j) in got and abs(got[(i, j)] - sim) < 1e-4
+            else:
+                assert (i, j) not in got
+
+
+def test_semantic_edges_empty_and_single():
+    assert semantic_edges(np.zeros((0, 4), dtype=np.float32), threshold=0.5) == []
+    assert semantic_edges(np.ones((1, 4), dtype=np.float32), threshold=0.5) == []
