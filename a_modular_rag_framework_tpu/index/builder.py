@@ -1,0 +1,157 @@
+"""Streaming index build: ingest -> chunk -> embed -> pack.
+
+The TPU-native replacement for the reference's ingest path
+(my_code/ingest_hotpotqa.py:46-87 writes docs.jsonl; BM25 re-indexes from it
+at every construction, text_index.py:32-53; embeddings came from a remote
+API at query time). Here ingest produces one `PackedIndex` artifact:
+
+  1. sentences stream in fixed-size batches;
+  2. the encoder embeds each batch as one device program — host featurizes
+     batch i+1 while the device works on batch i (JAX async dispatch);
+  3. BM25 CSR postings and the sentence graph (next-in-doc chains +
+     shared-entity links) are built host-side in the same pass;
+  4. everything is packed + checksummed to disk, ready to memory-map
+     straight back to HBM.
+
+Reports passages/sec (the BASELINE.json index-build metric).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..models.hash_embed import HashEmbedEncoder
+from ..utils.entity_linker import simple_ner
+from .corpus import SentenceCorpus
+from .packed import PackedIndex
+from ..ops.bm25 import Bm25DeviceIndex
+
+
+def build_sentence_graph(
+    corpus: SentenceCorpus, max_degree: int = 32, entity_chain_cap: int = 64
+) -> Dict[str, np.ndarray]:
+    """Two sentence-adjacency channel tables, each [N, deg] int32 (-1 pad).
+
+    The corpus-level analogue of the per-question graph's edge channels:
+      - ``next_in_doc`` [N, 2]: (title, sid) <-> (title, sid+1) chains —
+        exactly the fwd+bwd adjacency the reference BFS walks
+        (graph_utils.py:49-51,123). Parity mode uses only this table.
+      - ``entity`` [N, max_degree]: sentences mentioning the same
+        proper-noun span, chained in corpus order (chains, not cliques, so
+        common entities don't blow up degree; BFS reaches the whole group in
+        <= window hops). This is the entity-link adjacency for the 2-hop
+        engine (BASELINE.json config 3).
+    """
+    n = len(corpus)
+
+    def make(deg: int):
+        return np.full((n, deg), -1, dtype=np.int32), np.zeros(n, dtype=np.int32)
+
+    def add(nbrs, counts, a: int, b: int) -> None:
+        if a == b:
+            return
+        deg = nbrs.shape[1]
+        if counts[a] < deg and b not in nbrs[a, : counts[a]]:
+            nbrs[a, counts[a]] = b
+            counts[a] += 1
+        if counts[b] < deg and a not in nbrs[b, : counts[b]]:
+            nbrs[b, counts[b]] = a
+            counts[b] += 1
+
+    next_nbrs, next_counts = make(2)
+    by_title_sid = corpus.row_by_title_sid()
+    for row, d in enumerate(corpus.docs):
+        nxt = by_title_sid.get((d.get("title"), (d.get("sent_id") or 0) + 1))
+        if nxt is not None:
+            add(next_nbrs, next_counts, row, nxt)
+
+    ent_nbrs, ent_counts = make(max_degree)
+    entity_rows: Dict[str, List[int]] = {}
+    for row, d in enumerate(corpus.docs):
+        for ent in set(simple_ner(d.get("text", ""))):
+            if ent == d.get("title"):
+                continue  # title mentions are covered by next-in-doc chains
+            lst = entity_rows.setdefault(ent, [])
+            if len(lst) < entity_chain_cap:
+                lst.append(row)
+    for rows in entity_rows.values():
+        for a, b in zip(rows, rows[1:]):
+            add(ent_nbrs, ent_counts, a, b)
+    return {"next_in_doc": next_nbrs, "entity": ent_nbrs}
+
+
+def build_packed_index(
+    corpus: SentenceCorpus,
+    *,
+    encoder: Optional[Any] = None,
+    embed_dim: int = 64,
+    embed_dtype: str = "bfloat16",
+    embed_batch: int = 1024,
+    bm25_k1: float = 1.5,
+    bm25_b: float = 0.75,
+    graph_max_degree: int = 32,
+    out_dir: Optional[str] = None,
+    progress: Optional[Any] = None,
+) -> PackedIndex:
+    """Run the streaming build; optionally persist to ``out_dir``."""
+    if encoder is None:
+        encoder = HashEmbedEncoder(dim=embed_dim)
+
+    texts = corpus.texts()
+    n = len(texts)
+    t0 = time.time()
+
+    # --- embed: pipelined host featurize -> device encode ---
+    shards: List[np.ndarray] = []
+    pending = None  # (device_future,) — device result not yet materialized
+    for i in range(0, n, embed_batch):
+        batch = texts[i : i + embed_batch]
+        if hasattr(encoder, "featurize"):
+            feats = encoder.featurize(batch)
+            fut = encoder._encode(*feats, encoder.dim)  # async dispatch
+        else:
+            fut = encoder.encode_texts(batch)
+        if pending is not None:
+            shards.append(np.asarray(pending))
+        pending = fut
+        if progress:
+            progress(min(i + embed_batch, n), n, "embed")
+    if pending is not None:
+        shards.append(np.asarray(pending))
+    emb = np.concatenate(shards, axis=0) if shards else np.zeros((0, embed_dim), np.float32)
+    t_embed = time.time() - t0
+
+    # --- sparse structures (host pass) ---
+    t1 = time.time()
+    bm25 = Bm25DeviceIndex.build(texts, k1=bm25_k1, b=bm25_b)
+    t_bm25 = time.time() - t1
+    t2 = time.time()
+    graph_tables = build_sentence_graph(corpus, max_degree=graph_max_degree)
+    t_graph = time.time() - t2
+
+    total = time.time() - t0
+    stats = {
+        "build_stats": {
+            "passages": n,
+            "total_sec": round(total, 3),
+            "embed_sec": round(t_embed, 3),
+            "bm25_sec": round(t_bm25, 3),
+            "graph_sec": round(t_graph, 3),
+            "passages_per_sec": round(n / total, 1) if total > 0 else 0.0,
+        }
+    }
+
+    idx = PackedIndex(
+        corpus=corpus,
+        embeddings=emb,
+        embed_dtype=embed_dtype,
+        bm25=bm25,
+        graph_next=graph_tables["next_in_doc"],
+        graph_entity=graph_tables["entity"],
+        manifest=stats,
+    )
+    if out_dir:
+        idx.save(out_dir)
+    return idx
