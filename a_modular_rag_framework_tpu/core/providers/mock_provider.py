@@ -51,6 +51,10 @@ def _extract_question(prompt: str) -> str:
     return m.group(1).strip() if m else prompt[-200:]
 
 
+_QW = {"Where", "What", "Who", "Which", "When", "Why", "How",
+       "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do"}
+
+
 class MockProvider:
     """Offline deterministic LLM + embedding provider."""
 
@@ -98,8 +102,7 @@ class MockProvider:
             lines.append(" ".join(sorted(set(words))[:4]))
         return "\n".join(dict.fromkeys(lines)) or q
 
-    _QUESTION_WORDS = {"Where", "What", "Who", "Which", "When", "Why", "How",
-                       "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do"}
+    _QUESTION_WORDS = _QW
 
     def _plan(self, prompt: str) -> str:
         q = _extract_question(prompt)
@@ -114,17 +117,70 @@ class MockProvider:
         return "\n".join(steps)
 
     def _synthesize(self, prompt: str) -> str:
+        """Deterministic 2-hop synthesis over the citation block.
+
+        Hop 1: the citation with the highest full-phrase overlap with the
+        question's entities. Hop 2: if that citation introduces NEW entities
+        (a bridge), answer with the citation that mentions the bridge entity
+        and matches the question's predicate words; otherwise answer hop 1.
+        """
         q = _extract_question(prompt)
         cites = _parse_citations(prompt)
         if not cites:
             return "No supporting evidence available."
+
+        q_ents = re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", q)
+        q_ents = [e for e in q_ents if e not in _QW]
         q_words = set(_content_words(q))
-        best_k, best_text, best_score = cites[0][0], cites[0][1], -1.0
-        for k, text in cites:
-            score = len(q_words & set(_tokenize(text)))
-            if score > best_score:
-                best_k, best_text, best_score = k, text, score
-        return f"{best_text} [#{best_k}]"
+        q_ent_tokens = set(_tokenize(" ".join(q_ents)))
+        predicate_words = q_words - q_ent_tokens  # e.g. born, city, works
+
+        def ent_score(text, ents):
+            # full entity phrases are worth more than shared single tokens
+            s = sum(3 for e in ents if e and e in text)
+            s += len(set(_tokenize(" ".join(ents))) & set(_tokenize(text)))
+            return s
+
+        def stem_overlap(words, text):
+            # prefix-stem match so "collaborator" meets "collaborated"
+            toks = _tokenize(text)
+            return sum(
+                1 for w in words
+                if any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
+            )
+
+        # hop-1 candidates: every citation naming a question entity
+        h1s = [(k, t) for k, t in cites if ent_score(t, q_ents) > 0]
+        if not h1s:
+            h1s = [max(cites, key=lambda kt: len(q_words & set(_tokenize(kt[1]))))]
+
+        best_pair = None  # (score, k2, t2, k1)
+        for k1, t1 in h1s:
+            bridge = [e for e in re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", t1)
+                      if e not in _QW and e not in q_ents
+                      and not any(e in qe or qe in e for qe in q_ents)]
+            if not bridge:
+                continue
+            for k2, t2 in cites:
+                if k2 == k1:
+                    continue
+                # full-phrase bridge match only: surname-collision distractors
+                # share tokens but not the whole entity name
+                s2 = sum(3 for e in bridge if e and e in t2)
+                if s2 <= 0:
+                    continue
+                s = (s2 + stem_overlap(predicate_words, t2)
+                     + 0.5 * stem_overlap(predicate_words, t1))
+                if best_pair is None or s > best_pair[0]:
+                    best_pair = (s, k2, t2, k1)
+
+        if best_pair is not None:
+            _, k2, t2, k1 = best_pair
+            return f"{t2} [#{k2}] [#{k1}]"
+
+        k1, t1 = max(h1s, key=lambda kt: (ent_score(kt[1], q_ents),
+                                          len(q_words & set(_tokenize(kt[1])))))
+        return f"{t1} [#{k1}]"
 
     def _factcheck(self, prompt: str) -> str:
         q = _extract_question(prompt)

@@ -1,0 +1,378 @@
+"""TPUQueryEngine — the TPU-resident hybrid index-and-query engine.
+
+This is the device program that replaces the reference's entire hybrid
+retrieval stack (retrieval_backend.py:303-385 steps 2-5): BM25 scoring,
+graph-neighborhood expansion, dense scoring of the BM25 pool, per-channel
+min-max normalization, alpha-weighted fusion, and final top-k — one jitted
+computation per query batch. The host supplies tokenized queries and gets
+back ``(ids: int32[B, K], scores: f32[B, K])`` plus per-channel normalized
+scores for hit metadata; no per-candidate python ever runs.
+
+Pool semantics parity (the order-sensitive part — SURVEY.md §7 risk 3):
+  - text channel pool  = top ``pool_k`` BM25 candidates with score > 0
+    (BM25LiteIndex.search returns positive-score candidates only);
+  - dense channel pool = the text pool (DenseReranker scores BM25
+    candidates only, retrieval_backend.py:215-247);
+  - graph channel pool = top ``pool_k`` frontier-expansion scores > 0;
+  - min-max normalization is per-channel over its own pool;
+  - fused score = a_text*text + a_graph*graph + a_dense*dense over the
+    union, absent channels contributing 0.
+
+Graph seeds: explicit row lists (mapped from a per-question graph's q_match
+edges — parity mode), or derived in-program from the top ``seed_cap`` BM25
+candidates (corpus-scale mode with no per-question graph).
+
+Scale note: channels are carried as dense [B, N] f32 buffers — exact and
+fast through ~1M rows per chip at B<=64. The candidate-union compaction
+path for fullwiki-scale (5M+) batches lands in a later round.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dto import HitBatch
+from ..index.packed import PackedIndex
+from ..models.hash_embed import HashEmbedEncoder, tokenize
+from ..ops.bm25 import bm25_scores_batched
+from ..ops.fusion import fuse_channels
+from ..ops.graph import expand_frontier, expand_frontier_weighted
+from ..telemetry.sinks import TelemetrySink, record_device_timing
+
+
+@dataclass
+class EngineConfig:
+    top_k: int = 30
+    pool_k: int = 200
+    qe_variants: int = 4  # 1 original + up to 3 expansions
+    max_query_terms: int = 32
+    max_seed_rows: int = 64
+    bm25_posting_cap: int = 4096
+    graph_window: int = 1
+    include_entity_graph: bool = True
+    alpha_text: float = 0.4
+    alpha_graph: float = 0.2
+    alpha_dense: float = 0.4
+    # auto-seed mode: propagate BM25 seed strength (max * decay) instead of
+    # uniform decay — uninformative with ~64 equal seeds otherwise
+    graph_seed_weighted: bool = True
+    batch_buckets: Tuple[int, ...] = (1, 8, 64, 256)
+    frontier_cap: Optional[int] = None
+
+
+@dataclass
+class QueryResult:
+    """Host-side view of one query batch's output."""
+
+    hits: HitBatch
+    channel_norms: np.ndarray  # [C=3, B, K] normalized channel scores at hits
+    diagnostics: Dict[str, Any] = field(default_factory=dict)
+
+
+class TPUQueryEngine:
+    """Holds the packed index resident on device and serves query batches."""
+
+    CHANNELS = ("text", "graph", "dense")
+
+    def __init__(
+        self,
+        index: PackedIndex,
+        *,
+        encoder: Optional[Any] = None,
+        config: Optional[EngineConfig] = None,
+        sink: Optional[TelemetrySink] = None,
+    ):
+        self.index = index
+        self.config = config or EngineConfig()
+        self.sink = sink
+        self.encoder = encoder or HashEmbedEncoder(dim=index.embed_dim or 64)
+
+        # device residency (uploaded once; donated nothing — index is read-only)
+        emb = index.device_embeddings()
+        if emb.size:
+            norms = jnp.sqrt(jnp.sum(emb.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+            emb = (emb.astype(jnp.float32) / jnp.maximum(norms, 1e-9)).astype(emb.dtype)
+        self._emb = emb
+        self._bm25 = index.device_bm25()
+        self._nbrs = index.device_graph(include_entity=self.config.include_entity_graph)
+        self._n = index.n_docs
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # ------------- host-side encoding -------------
+
+    def _bucket(self, b: int) -> int:
+        for s in self.config.batch_buckets:
+            if b <= s:
+                return s
+        return b
+
+    def encode_queries(self, variants: Sequence[Sequence[str]]) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (q_emb [B, d] f32, term_ids [B, E, T] int32).
+
+        ``variants[b]`` = [original, expansion1, ...]; the dense channel uses
+        the ORIGINAL query embedding only (reference embeds req.query,
+        retrieval_backend.py:227), BM25 max-merges over all variants.
+        """
+        cfg = self.config
+        B, E, T = len(variants), cfg.qe_variants, cfg.max_query_terms
+        originals = [v[0] if v else "" for v in variants]
+        q_emb = np.asarray(self.encoder.encode_texts(list(originals)), dtype=np.float32)
+        term_ids = np.full((B, E, T), -1, dtype=np.int32)
+        vocab = self.index.bm25.vocab
+        for b, vs in enumerate(variants):
+            for e, q in enumerate(list(vs)[:E]):
+                tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
+                term_ids[b, e, : len(tids)] = tids
+        return q_emb, term_ids
+
+    def qmatch_seed_rows(self, query: str, candidate_rows: Sequence[int]) -> List[int]:
+        """Host q_match: candidate rows sharing >=1 token with the query
+        (EdgeBuilder q_match semantics, edge_builder.py:134-143)."""
+        q_terms = set(tokenize(query))
+        out = []
+        for r in candidate_rows:
+            text = self.index.corpus.docs[r].get("text", "")
+            if q_terms & set(tokenize(text)):
+                out.append(int(r))
+        return out
+
+    # ------------- the device program -------------
+
+    def _program(self, key: Tuple) -> Any:
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        (B, E, T, S, pool_k, k, window, seeds_explicit, _weighted) = key
+        n = self._n
+        cfg = self.config
+        cap = min(cfg.bm25_posting_cap, max(int(self._bm25["doc_ids"].shape[0]), 1))
+        alphas = jnp.asarray(
+            [cfg.alpha_text, cfg.alpha_graph, cfg.alpha_dense], dtype=jnp.float32
+        )
+        nbrs = self._nbrs
+        emb = self._emb
+        bm = self._bm25
+
+        def program(q_emb, term_ids, seed_rows):
+            # ---- text channel: BM25 max-merged over query variants ----
+            text_scores = bm25_scores_batched(
+                term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
+                n_docs=n, cap=cap, merge="max",
+            )  # [B, N]
+            pool_s, pool_i = jax.lax.top_k(text_scores, pool_k)
+            pool_valid = pool_s > 0
+            rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
+            text_present = (
+                jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                .at[rows_b, jnp.where(pool_valid, pool_i, n)]
+                .set(True)[:, :n]
+            )
+
+            # ---- dense channel: cosine(q, pool rows) ----
+            qn = q_emb / jnp.maximum(
+                jnp.sqrt(jnp.sum(q_emb * q_emb, axis=1, keepdims=True)), 1e-9
+            )
+            pool_emb = jnp.take(emb, jnp.where(pool_valid, pool_i, 0), axis=0)
+            dense_pool = jnp.einsum(
+                "bd,bkd->bk", qn, pool_emb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            dense_scores = (
+                jnp.zeros((B, n + 1), dtype=jnp.float32)
+                .at[rows_b, jnp.where(pool_valid, pool_i, n)]
+                .set(jnp.where(pool_valid, dense_pool, 0.0))[:, :n]
+            )
+
+            # ---- graph channel: frontier expansion with hop decay ----
+            if seeds_explicit:
+                rows_s = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S))
+                seed_mask = (
+                    jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                    .at[rows_s, jnp.where(seed_rows >= 0, seed_rows, n)]
+                    .set(True)[:, :n]
+                )
+
+                def one_expand(sm):
+                    s, _ = expand_frontier(nbrs, sm, window=window,
+                                           frontier_cap=cfg.frontier_cap)
+                    return s
+
+                graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
+            else:
+                S_eff = min(S, n)
+                top_seed_s, top_seed_i = jax.lax.top_k(text_scores, S_eff)
+                rows_s = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S_eff))
+                if cfg.graph_seed_weighted:
+                    # seed strength = bm25 / max(bm25): strongest seed -> 1.0
+                    denom = jnp.maximum(top_seed_s[:, :1], 1e-9)
+                    seed_vals = jnp.where(top_seed_s > 0, top_seed_s / denom, 0.0)
+                    seed_scores = (
+                        jnp.zeros((B, n + 1), dtype=jnp.float32)
+                        .at[rows_s, jnp.where(top_seed_s > 0, top_seed_i, n)]
+                        .max(seed_vals)[:, :n]
+                    )
+
+                    def one_expand_w(sv):
+                        return expand_frontier_weighted(nbrs, sv, window=window)
+
+                    graph_scores = jax.vmap(one_expand_w)(seed_scores)
+                else:
+                    seed_mask = (
+                        jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                        .at[rows_s, jnp.where(top_seed_s > 0, top_seed_i, n)]
+                        .set(True)[:, :n]
+                    )
+
+                    def one_expand(sm):
+                        s, _ = expand_frontier(nbrs, sm, window=window,
+                                               frontier_cap=cfg.frontier_cap)
+                        return s
+
+                    graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
+            g_pool_s, g_pool_i = jax.lax.top_k(graph_scores, min(pool_k, n))
+            g_valid = g_pool_s > 0
+            rows_g = jnp.broadcast_to(
+                jnp.arange(B)[:, None], (B, min(pool_k, n))
+            )
+            graph_present = (
+                jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                .at[rows_g, jnp.where(g_valid, g_pool_i, n)]
+                .set(True)[:, :n]
+            )
+            graph_channel = jnp.where(graph_present, graph_scores, 0.0)
+
+            # ---- fusion ----
+            ch_scores = jnp.stack(
+                [jnp.where(text_present, text_scores, 0.0), graph_channel,
+                 dense_scores], axis=1,
+            )  # [B, 3, N]
+            ch_present = jnp.stack(
+                [text_present, graph_present, text_present], axis=1
+            )
+
+            def one_fuse(cs, cp):
+                return fuse_channels(cs, cp, alphas, k=k)
+
+            top_s, top_i, normed = jax.vmap(one_fuse)(ch_scores, ch_present)
+            # channel norms at the selected ids, for hit meta
+            safe_i = jnp.where(top_i >= 0, top_i, 0)
+            norms_at = jnp.take_along_axis(
+                normed, safe_i[:, None, :], axis=2
+            )  # [B, 3, k]
+            counts = jnp.stack(
+                [jnp.sum(text_present, axis=1), jnp.sum(graph_present, axis=1),
+                 jnp.sum(pool_valid, axis=1)], axis=1,
+            )
+            return top_s, top_i, norms_at, counts
+
+        fn = jax.jit(program)
+        self._jit_cache[key] = fn
+        return fn
+
+    # ------------- public API -------------
+
+    def query_batch(
+        self,
+        queries: Sequence[str],
+        *,
+        expansions: Optional[Sequence[Sequence[str]]] = None,
+        seed_rows: Optional[Sequence[Sequence[int]]] = None,
+        top_k: Optional[int] = None,
+        graph_window: Optional[int] = None,
+        trace_id: str = "",
+    ) -> QueryResult:
+        cfg = self.config
+        B_real = len(queries)
+        if self._n == 0 or B_real == 0:
+            empty = HitBatch(
+                ids=np.full((B_real, top_k or cfg.top_k), -1, np.int32),
+                scores=np.zeros((B_real, top_k or cfg.top_k), np.float32),
+            )
+            return QueryResult(hits=empty,
+                               channel_norms=np.zeros((3, B_real, top_k or cfg.top_k)),
+                               diagnostics={"empty_index": self._n == 0})
+
+        k = min(int(top_k or cfg.top_k), self._n)
+        window = cfg.graph_window if graph_window is None else max(0, int(graph_window))
+        pool_k = min(cfg.pool_k, self._n)
+        B = self._bucket(B_real)
+
+        variants: List[List[str]] = []
+        for i in range(B):
+            if i < B_real:
+                v = [queries[i]] + list(expansions[i] if expansions else [])
+            else:
+                v = [""]
+            variants.append(v[: cfg.qe_variants])
+        q_emb, term_ids = self.encode_queries(variants)
+
+        seeds_explicit = seed_rows is not None
+        S = cfg.max_seed_rows
+        seed_arr = np.full((B, S), -1, dtype=np.int32)
+        if seeds_explicit:
+            for i in range(min(B_real, B)):
+                rows = list(seed_rows[i])[:S]
+                seed_arr[i, : len(rows)] = rows
+
+        key = (B, cfg.qe_variants, cfg.max_query_terms, S, pool_k, k, window,
+               seeds_explicit, cfg.graph_seed_weighted)
+        fn = self._program(key)
+
+        t0 = time.time()
+        top_s, top_i, norms_at, counts = fn(
+            jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr)
+        )
+        jax.block_until_ready(top_s)
+        dt_ms = (time.time() - t0) * 1000.0
+        if self.sink and trace_id:
+            record_device_timing(
+                self.sink, trace_id, kernel="engine/query_batch",
+                device_ms=dt_ms, shape=f"B{B}xN{self._n}k{k}",
+                backend=jax.default_backend(),
+            )
+
+        top_s = np.asarray(top_s)[:B_real]
+        top_i = np.asarray(top_i)[:B_real]
+        norms_at = np.moveaxis(np.asarray(norms_at)[:B_real], 1, 0)  # [3, B, k]
+        counts = np.asarray(counts)[:B_real]
+
+        diagnostics = {
+            "bm25_candidates": int(counts[:, 0].sum()),
+            "graph_candidates": int(counts[:, 1].sum()),
+            "dense_scored": int(counts[:, 2].sum()),
+            "weights": {"alpha_text": cfg.alpha_text, "alpha_graph": cfg.alpha_graph,
+                        "alpha_dense": cfg.alpha_dense},
+            "pool": {"bm25_pool_k": pool_k, "final_top_k": k},
+            "graph_window_used": window,
+            "device_ms": round(dt_ms, 3),
+            "batch_bucket": B,
+        }
+        return QueryResult(
+            hits=HitBatch(ids=top_i, scores=top_s),
+            channel_norms=norms_at,
+            diagnostics=diagnostics,
+        )
+
+    # ------------- host hydration -------------
+
+    def hydrate_hits(self, result: QueryResult, row: int, extra_meta: Optional[Dict[str, Any]] = None):
+        """QueryResult row -> List[Hit] with corpus meta + channel norms."""
+        corpus = self.index.corpus
+        hits = result.hits.hydrate(
+            row, id_fn=corpus.hit_id, meta_fn=corpus.hit_meta, extra_meta=extra_meta
+        )
+        ids = np.asarray(result.hits.ids)[row]
+        j = 0
+        for i, rid in enumerate(ids.tolist()):
+            if rid < 0:
+                continue
+            hits[j].meta["score_text_norm"] = float(result.channel_norms[0, row, i])
+            hits[j].meta["score_graph_norm"] = float(result.channel_norms[1, row, i])
+            hits[j].meta["score_dense_norm"] = float(result.channel_norms[2, row, i])
+            j += 1
+        return hits

@@ -70,13 +70,22 @@ def build_sentence_graph(
     ent_nbrs, ent_counts = make(max_degree)
     entity_rows: Dict[str, List[int]] = {}
     for row, d in enumerate(corpus.docs):
+        # Title mentions stay in: a sentence naming entity B must link to the
+        # sentences of the document titled B — that's the bridge that makes
+        # 2-hop questions reachable (hop 1 finds "A worked with B", hop 2
+        # needs B's own document).
         for ent in set(simple_ner(d.get("text", ""))):
-            if ent == d.get("title"):
-                continue  # title mentions are covered by next-in-doc chains
             lst = entity_rows.setdefault(ent, [])
             if len(lst) < entity_chain_cap:
                 lst.append(row)
     for rows in entity_rows.values():
+        # star: every mention links to the entity's first row (its "hub" —
+        # for a titled document that's the doc's first sentence), so any two
+        # mentions are <= 2 hops apart; plus a consecutive chain as fallback
+        # when the hub's degree saturates.
+        hub = rows[0]
+        for r in rows[1:]:
+            add(ent_nbrs, ent_counts, hub, r)
         for a, b in zip(rows, rows[1:]):
             add(ent_nbrs, ent_counts, a, b)
     return {"next_in_doc": next_nbrs, "entity": ent_nbrs}

@@ -1,0 +1,164 @@
+"""Planner/Synthesizer reasoning agent with self-consistency + REACT refine.
+
+Behavior parity with /root/reference/app/modules/reasoning/
+impl_planner_synth.py:14-183:
+  PLAN (LLM decomposition, <= max_hops steps) ->
+  EVIDENCE (per-step selection with entity hard-filter + channel fusion) ->
+  SYNTH (max(n_drafts, sc_runs) drafts, citation-only prompt) ->
+  VOTE (normalized majority) ->
+  REFINE (coverage < threshold -> neighbor expansion -> re-synthesize).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, List, Optional
+
+from ...core.dto import ReasoningIn, ReasoningOut
+from ...core.llm_router import LLMRouter
+from ...telemetry.sinks import TelemetrySink, span
+from . import strategies
+
+logger = logging.getLogger(__name__)
+
+
+class ReasoningAgentPlannerSynth:
+    def __init__(
+        self,
+        router: LLMRouter,
+        *,
+        sink: Optional[TelemetrySink] = None,
+        max_hops: int = 3,
+        temperature: float = 0.6,
+        n_drafts: int = 1,
+        sc_runs: int = 3,
+        max_refine_rounds: int = 1,
+        coverage_threshold: float = 0.2,
+        refine_window: int = 2,
+        max_expand: int = 5,
+    ):
+        self.router = router
+        self.sink = sink
+        self.max_hops = int(max_hops)
+        self.temperature = float(temperature)
+        self.n_drafts = max(1, int(n_drafts))
+        self.sc_runs = max(1, int(sc_runs))
+        self.max_refine_rounds = max(0, int(max_refine_rounds))
+        self.coverage_threshold = float(coverage_threshold)
+        self.refine_window = max(0, int(refine_window))
+        self.max_expand = max(0, int(max_expand))
+
+    # ---- stages ----
+
+    def _plan(self, question: str, trace_id: str) -> List[str]:
+        prompt = (
+            "You are a decomposition planner for multi-hop QA.\n"
+            f"Question: {question}\n"
+            f"Decompose into at most {self.max_hops} concise steps. "
+            "Return one step per line with a leading number like '1) ...'. "
+            "Steps should be atomic and verifiable."
+        )
+        out = self.router.complete(
+            module="ReasoningAgent", purpose="plan", prompt=prompt,
+            require={"context_window": 16000, "temperature": 0.2,
+                     "trace_id": trace_id},
+        )
+        steps: List[str] = []
+        for line in (strategies.coerce_text(out) or "").splitlines():
+            s = line.strip().lstrip("-•").strip()
+            if not s:
+                continue
+            # strip a leading "<n>)" / "<n>." marker
+            m = re.match(r"^\d+[.)]\s*(.*)$", s)
+            if m:
+                s = m.group(1).strip()
+            if s:
+                steps.append(s)
+        return steps[: self.max_hops] or [question]
+
+    def _synthesize(self, *, question: str, steps: List[str], citations: str,
+                    trace_id: str) -> str:
+        guidance = (
+            "Synthesize a final answer using ONLY the provided citations. "
+            "Cite evidence inline using [#k] where k is the citation number. "
+            "Be concise and factual."
+        )
+        plan_block = "\n".join(f"Step {i + 1}: {s}" for i, s in enumerate(steps))
+        prompt = (
+            f"{guidance}\n\nPlan:\n{plan_block}\n\nCitations:\n{citations}\n"
+            f"\nQuestion: {question}\nAnswer:"
+        )
+        out = self.router.complete(
+            module="ReasoningAgent", purpose="synthesize", prompt=prompt,
+            require={"context_window": 32000, "temperature": self.temperature,
+                     "trace_id": trace_id},
+        )
+        return strategies.coerce_text(out) or ""
+
+    # ---- main ----
+
+    def reason(self, req: ReasoningIn) -> ReasoningOut:
+        trace_id = req.trace_id or "trace-reason"
+
+        with span("Reasoning/Plan", self.sink, trace_id):
+            steps = self._plan(req.question, trace_id)
+
+        hits = list(req.hits or [])
+        # entity hard-filter from capitalized question tokens
+        require_entities = [w for w in (req.question or "").split()
+                            if w and w[0].isupper()]
+
+        with span("Reasoning/Evidence", self.sink, trace_id):
+            step_evidences, used = strategies.select_evidence_for_steps(
+                steps,
+                hits,
+                per_step_k=2,
+                min_score=0.05,
+                require_entities=require_entities,
+                neighbor_window=self.refine_window,
+                neighbor_max_expand=self.max_expand,
+            )
+            citations = strategies.build_citation_block(hits, used)
+
+        drafts: List[str] = []
+        with span("Reasoning/Synthesize", self.sink, trace_id):
+            for _ in range(max(self.n_drafts, self.sc_runs)):
+                drafts.append(self._synthesize(
+                    question=req.question, steps=steps, citations=citations,
+                    trace_id=trace_id,
+                ))
+        if len(drafts) > 1:
+            answer, votes = strategies.majority_vote(drafts)
+        else:
+            answer, votes = (drafts[0] if drafts else ""), {}
+
+        coverage = len(set(used)) / max(1, len(hits))
+        refine_rounds: List[Dict[str, Any]] = []
+        if coverage < self.coverage_threshold and self.max_refine_rounds > 0:
+            with span("Reasoning/Refine", self.sink, trace_id):
+                for r in range(self.max_refine_rounds):
+                    new_used = sorted(strategies.expand_with_neighbors(
+                        set(used), hits, window=self.refine_window,
+                        max_expand=self.max_expand,
+                    ))
+                    new_citations = strategies.build_citation_block(hits, new_used)
+                    new_draft = self._synthesize(
+                        question=req.question, steps=steps,
+                        citations=new_citations, trace_id=f"{trace_id}-ref{r}",
+                    )
+                    refine_rounds.append({"round": r, "draft": new_draft})
+                    answer, used, citations = new_draft, new_used, new_citations
+
+        return ReasoningOut(
+            answer=answer,
+            evidence_used=[hits[i] for i in sorted(set(used))
+                           if 0 <= i < len(hits)],
+            steps=[
+                {"plan": "\n".join(steps)},
+                {"evidence_map": step_evidences},
+                {"citations": citations},
+                {"drafts": drafts, "votes": votes},
+                {"refine_rounds": refine_rounds},
+            ],
+            model="planner+synth+react",
+        )

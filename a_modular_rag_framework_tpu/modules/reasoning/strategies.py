@@ -1,0 +1,287 @@
+"""Reasoning strategies: evidence selection, neighbor expansion, citations,
+answer normalization, majority voting.
+
+Behavior parity with /root/reference/app/modules/reasoning/strategies.py:
+  - overlap_score(a, b) = |A∩B| / (1 + ln(1 + |B|)) (short-evidence bias)
+  - per-step evidence score = 0.6*lexical + 0.4*(0.5*text + 0.3*dense +
+    0.2*graph normalized channel scores), falling back to pure lexical when
+    no channel norms are present (strategies.py:229-255)
+  - entity hard-filter, neighbor expansion over (doc, sent_id) continuity,
+  - coverage floor backfill from the global score order,
+  - stable citation blocks and normalized-majority voting.
+
+The per-step evidence scoring is vectorized with numpy over the whole hit
+list instead of per-hit python loops.
+"""
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def tokenize(text: str) -> List[str]:
+    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+
+
+def overlap_score(a: str, b: str) -> float:
+    """Term-overlap score favoring concise evidence."""
+    A, B = set(tokenize(a)), set(tokenize(b))
+    if not B:
+        return 0.0
+    return len(A & B) / (1.0 + math.log(1.0 + len(B)))
+
+
+def normalize_answer(s: str) -> str:
+    """Lowercase, strip inline [#k] citations + punctuation, squeeze spaces."""
+    s = re.sub(r"\[[^\]]+\]", " ", s or "")
+    s = re.sub(r"[^a-zA-Z0-9]+", " ", s)
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def coerce_text(out: Any) -> str:
+    """Collapse assorted provider output shapes to a string."""
+    if out is None:
+        return ""
+    if isinstance(out, str):
+        return out
+    if isinstance(out, dict):
+        t = out.get("text")
+        if isinstance(t, str):
+            return t
+        if isinstance(t, dict):
+            if isinstance(t.get("text"), str):
+                return t["text"]
+            c = t.get("content")
+            if isinstance(c, str):
+                return c
+            if isinstance(c, list):
+                for item in c:
+                    if isinstance(item, dict) and isinstance(item.get("text"), str):
+                        return item["text"]
+        msg = out.get("message")
+        if isinstance(msg, dict):
+            c = msg.get("content")
+            if isinstance(c, str):
+                return c
+            if isinstance(c, list):
+                for item in c:
+                    if (isinstance(item, dict) and item.get("type") == "text"
+                            and isinstance(item.get("text"), str)):
+                        return item["text"]
+        choices = out.get("choices")
+        if isinstance(choices, list) and choices and isinstance(choices[0], dict):
+            ch = choices[0]
+            if isinstance(ch.get("text"), str):
+                return ch["text"]
+            for key in ("message", "delta"):
+                m = ch.get(key)
+                if isinstance(m, dict) and isinstance(m.get("content"), str):
+                    return m["content"]
+        for key in ("output_text", "data"):
+            if isinstance(out.get(key), str):
+                return out[key]
+    return ""
+
+
+# ---- hit helpers ----
+
+
+def _hit_meta(hit: Any) -> Dict[str, Any]:
+    meta = getattr(hit, "meta", None)
+    if meta is None and isinstance(hit, dict):
+        meta = hit.get("meta")
+    return meta if isinstance(meta, dict) else {}
+
+
+def _hit_text(hit: Any) -> str:
+    meta = _hit_meta(hit)
+    text = meta.get("text") or meta.get("content") or ""
+    if not text and isinstance(hit, dict):
+        text = hit.get("text") or hit.get("content") or ""
+    return str(text or "")
+
+
+def _hit_score(hit: Any) -> float:
+    s = getattr(hit, "score", None)
+    if s is None and isinstance(hit, dict):
+        s = hit.get("score")
+    try:
+        return float(s or 0.0)
+    except (TypeError, ValueError):
+        return 0.0
+
+
+def _hit_doc_sid(hit: Any) -> Tuple[str, Optional[int]]:
+    meta = _hit_meta(hit)
+    doc = str(meta.get("doc") or "")
+    try:
+        sid = int(meta.get("sent_id")) if meta.get("sent_id") is not None else None
+    except (TypeError, ValueError):
+        sid = None
+    return doc, sid
+
+
+# ---- neighbor expansion ----
+
+
+def expand_with_neighbors(
+    used: Set[int],
+    hits: Sequence[Any],
+    window: int = 1,
+    max_expand: int = 5,
+) -> Set[int]:
+    """Grow the used-evidence set with (doc, sent_id±d) neighbors present in
+    the hit list, up to ``max_expand`` additions within ``window`` hops."""
+    if not hits or not used or window <= 0 or max_expand <= 0:
+        return set(used)
+
+    sid2idx: Dict[Tuple[str, int], int] = {}
+    for idx, h in enumerate(hits):
+        doc, sid = _hit_doc_sid(h)
+        if sid is not None and sid >= 0:
+            sid2idx.setdefault((doc, sid), idx)
+
+    expanded = set(used)
+    added = 0
+    for idx in sorted(used):
+        if added >= max_expand:
+            break
+        doc, sid = _hit_doc_sid(hits[idx])
+        if sid is None or sid < 0:
+            continue
+        for d in range(1, window + 1):
+            for sign in (-1, 1):
+                j = sid2idx.get((doc, sid + d * sign))
+                if j is not None and j not in expanded:
+                    expanded.add(j)
+                    added += 1
+                    if added >= max_expand:
+                        return expanded
+    return expanded
+
+
+# ---- per-step evidence selection ----
+
+
+def select_evidence_for_steps(
+    steps: Sequence[str],
+    hits: Iterable[Any],
+    per_step_k: int = 2,
+    min_score: float = 0.0,
+    require_entities: Optional[List[str]] = None,
+    neighbor_window: int = 1,
+    neighbor_max_expand: int = 5,
+) -> Tuple[List[List[int]], set]:
+    """Pick top-K evidence per plan step.
+
+    Vectorized scoring: lexical overlap fused with channel norms where
+    present; entity hard-filter; neighbor expansion; coverage-floor backfill.
+    Returns (per-step index lists, union of used indices).
+    """
+    H = list(hits)
+    n = len(H)
+    step_evidences: List[List[int]] = []
+    used: set = set()
+    if n == 0:
+        return [[] for _ in steps], used
+
+    texts = [_hit_text(h) for h in H]
+    text_tokens = [set(tokenize(t)) for t in texts]
+    text_lens = np.array([len(tt) for tt in text_tokens], dtype=np.float32)
+    log_lens = 1.0 + np.log(1.0 + text_lens)
+
+    metas = [_hit_meta(h) for h in H]
+    st = np.array([float(m.get("score_text_norm") or 0.0) for m in metas], np.float32)
+    sd = np.array([float(m.get("score_dense_norm") or 0.0) for m in metas], np.float32)
+    sg = np.array([float(m.get("score_graph_norm") or 0.0) for m in metas], np.float32)
+    has_channels = (st + sd + sg) > 0.0
+    fused_chan = 0.5 * st + 0.3 * sd + 0.2 * sg
+
+    ents_lower = [e.lower() for e in (require_entities or [])]
+    if ents_lower:
+        ent_ok = np.array(
+            [any(e in t.lower() for e in ents_lower) for t in texts], dtype=bool
+        )
+    else:
+        ent_ok = np.ones(n, dtype=bool)
+
+    has_text = text_lens > 0
+    global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
+
+    for step in steps:
+        s_tokens = set(tokenize(step))
+        inter = np.array(
+            [len(s_tokens & tt) for tt in text_tokens], dtype=np.float32
+        )
+        lex = np.where(has_text, inter / log_lens, 0.0)
+        score = np.where(has_channels, 0.6 * lex + 0.4 * fused_chan, lex)
+        eligible = ent_ok & has_text & (score >= min_score) & (score > 0)
+
+        order = np.argsort(-score, kind="stable")
+        picked = [int(i) for i in order if eligible[i]][: max(1, per_step_k)]
+
+        if picked:
+            grown = expand_with_neighbors(
+                set(picked), H, window=neighbor_window,
+                max_expand=max(neighbor_max_expand, per_step_k),
+            )
+            picked = sorted(grown, key=lambda i: float(score[i]), reverse=True)
+            picked = picked[: max(1, per_step_k)]
+
+        if len(picked) < per_step_k:  # coverage floor
+            for gi in global_order:
+                if gi not in picked:
+                    picked.append(gi)
+                if len(picked) >= per_step_k:
+                    break
+
+        step_evidences.append(picked)
+        used.update(picked)
+
+    return step_evidences, used
+
+
+# ---- citations ----
+
+
+def build_citation_block(hits: Sequence[Any], indices: Iterable[int]) -> str:
+    """Stable, reproducible citation block: deduped ascending indices,
+    '[#j] (doc=..., sent_id=...) "text"' lines (the verifier extracts the
+    [#j] numbering from answers)."""
+    try:
+        idx_list = sorted(set(int(i) for i in indices))
+    except (TypeError, ValueError):
+        seen: set = set()
+        idx_list = [i for i in indices if not (i in seen or seen.add(i))]
+
+    lines = []
+    for j, i in enumerate(idx_list, 1):
+        if i < 0 or i >= len(hits):
+            continue
+        meta = _hit_meta(hits[i])
+        doc = str(meta.get("doc") or meta.get("title") or "")
+        sid = str(meta.get("sent_id") if meta.get("sent_id") is not None else "")
+        text = _hit_text(hits[i]).replace('"', "“")
+        lines.append(f'[#{j}] (doc={doc}, sent_id={sid}) "{text}"')
+    return "\n".join(lines)
+
+
+# ---- voting ----
+
+
+def majority_vote(candidates: Sequence[str]) -> Tuple[str, Dict[str, int]]:
+    """Return the draft whose normalized form is most common."""
+    votes = Counter(normalize_answer(c) for c in candidates if c and c.strip())
+    if not votes:
+        return "", {}
+    best_norm, _ = votes.most_common(1)[0]
+    for c in candidates:
+        if normalize_answer(c) == best_norm:
+            return c, dict(votes)
+    return candidates[0], dict(votes)

@@ -1,0 +1,217 @@
+"""TPUHybridRetrievalBackend — the production retriever.
+
+Role parity with /root/reference/app/modules/retrieval/
+retrieval_backend.py:252-390 (the HybridRetrievalBackend): LLM query
+expansion -> BM25 pool -> graph expansion -> dense rerank -> per-channel
+min-max norm -> alpha fusion -> top-k, returning `RetrievalOut` hits with
+``sent::<doc>::<sid>`` ids and channel-norm metadata.
+
+The difference is WHERE the work runs: steps 2-5 execute as one device
+program inside `TPUQueryEngine`; this class is the thin host adapter that
+(a) expands the query via the router, (b) maps the per-question graph's
+q_match seeds to corpus rows (parity mode) or lets the engine derive
+weighted seeds from BM25 (corpus mode), and (c) hydrates the returned
+``(ids, scores)`` arrays into `Hit` objects.
+
+The packed index is built once from docs.jsonl and cached on disk next to
+it (``<docs>.packed/``); subsequent constructions memory-map it straight
+back to HBM instead of re-indexing (the reference re-indexed every init,
+text_index.py:32-53).
+"""
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ...core.dto import Hit, RetrievalIn, RetrievalOut
+from ...core.llm_router import LLMRouter
+from ...engine.query_engine import EngineConfig, TPUQueryEngine
+from ...index.builder import build_packed_index
+from ...index.corpus import SentenceCorpus
+from ...index.packed import PackedIndex
+from ...telemetry.sinks import TelemetrySink, record_metrics, span
+from .query_expander import LLMQueryExpander
+
+logger = logging.getLogger(__name__)
+
+
+def load_or_build_packed_index(
+    index_path: str,
+    *,
+    embed_dim: int = 64,
+    embed_dtype: str = "bfloat16",
+    encoder: Optional[Any] = None,
+    cache: bool = True,
+) -> PackedIndex:
+    """Load the cached packed artifact for docs.jsonl, or build + cache it."""
+    docs_path = Path(index_path)
+    packed_dir = docs_path.with_suffix(docs_path.suffix + ".packed")
+    if cache and (packed_dir / "manifest.json").exists():
+        try:
+            idx = PackedIndex.load(packed_dir)
+            if idx.embed_dim == embed_dim and idx.embed_dtype == embed_dtype:
+                return idx
+        except Exception as e:
+            logger.warning("packed index reload failed (%r); rebuilding", e)
+    corpus = SentenceCorpus.from_jsonl(docs_path)
+    return build_packed_index(
+        corpus, encoder=encoder, embed_dim=embed_dim, embed_dtype=embed_dtype,
+        out_dir=str(packed_dir) if (cache and len(corpus)) else None,
+    )
+
+
+class TPUHybridRetrievalBackend:
+    def __init__(
+        self,
+        router: Optional[LLMRouter] = None,
+        sink: Optional[TelemetrySink] = None,
+        *,
+        index_path: str = "data/hotpotqa/docs.jsonl",
+        graph_root: str = "data/graph",
+        bm25_k1: float = 1.5,
+        bm25_b: float = 0.75,
+        graph_window: int = 2,
+        alpha_text: float = 0.4,
+        alpha_graph: float = 0.2,
+        alpha_dense: float = 0.4,
+        bm25_pool_k: int = 200,
+        default_top_k: int = 20,
+        qe_lines: int = 3,
+        qe_attr_paraphrase: bool = True,
+        embed_batch: int = 1024,
+        embed_dim: int = 64,
+        embed_dtype: str = "bfloat16",
+        encoder: Optional[Any] = None,
+        index: Optional[PackedIndex] = None,
+        engine: Optional[TPUQueryEngine] = None,
+        use_pallas: Any = "auto",
+    ):
+        self.router = router
+        self.sink = sink
+        self.graph_root = graph_root
+        self.default_top_k = int(default_top_k)
+        self.graph_window = int(graph_window)
+        self.embed_batch = int(embed_batch)
+
+        self.expander = LLMQueryExpander(router, qe_lines, qe_attr_paraphrase)
+
+        if engine is not None:
+            self.engine = engine
+        else:
+            if index is None:
+                index = load_or_build_packed_index(
+                    index_path, embed_dim=embed_dim, embed_dtype=embed_dtype,
+                    encoder=encoder,
+                )
+            config = EngineConfig(
+                top_k=default_top_k,
+                pool_k=bm25_pool_k,
+                qe_variants=1 + int(qe_lines),
+                graph_window=graph_window,
+                alpha_text=alpha_text,
+                alpha_graph=alpha_graph,
+                alpha_dense=alpha_dense,
+            )
+            self.engine = TPUQueryEngine(index, encoder=encoder, config=config,
+                                         sink=sink)
+
+    # ---- per-question graph seeds ----
+
+    def _graph_seed_rows(self, graph_id: str) -> Optional[List[int]]:
+        """Map the per-question graph's q_match sentence nodes to corpus rows.
+
+        Sentence node ids are ``{doc}::sent{j}``; the corpus row is looked
+        up by (doc title, sent_id). Returns None when no graph is available
+        (the engine then derives weighted BM25 seeds)."""
+        if not graph_id:
+            return None
+        gdir = Path(self.graph_root) / graph_id
+        adj = gdir / "adjacency.npz"
+        rows: List[int] = []
+        by = self.engine.index.corpus.row_by_title_sid()
+        try:
+            if adj.exists():
+                data = np.load(adj, allow_pickle=True)
+                node_ids = list(data["node_ids"])
+                for seed in data["qmatch_seeds"]:
+                    nid = str(node_ids[int(seed)])
+                    row = self._node_id_to_row(nid, by)
+                    if row is not None:
+                        rows.append(row)
+            else:
+                gj = gdir / "graph.json"
+                if not gj.exists():
+                    return None
+                g = json.loads(gj.read_text(encoding="utf-8"))
+                for e in g.get("edges", []):
+                    if e.get("type") == "q_match" and e.get("source") == "q1":
+                        row = self._node_id_to_row(str(e.get("target")), by)
+                        if row is not None:
+                            rows.append(row)
+        except Exception as e:
+            logger.warning("graph seed load failed for %s: %r", graph_id, e)
+            return None
+        return sorted(set(rows)) if rows else None
+
+    @staticmethod
+    def _node_id_to_row(node_id: str, by_title_sid: Dict) -> Optional[int]:
+        if "::sent" not in node_id:
+            return None
+        doc, _, sid = node_id.rpartition("::sent")
+        try:
+            return by_title_sid.get((doc, int(sid)))
+        except ValueError:
+            return None
+
+    # ---- main ----
+
+    def run(self, req: RetrievalIn) -> Dict[str, Any]:
+        trace_id = req.trace_id or "trace-demo"
+        top_k = int(req.top_k or self.default_top_k)
+
+        with span("Backend/Expand", self.sink, trace_id):
+            expanded = self.expander.expand(query=req.query, trace_id=trace_id)
+            queries = [req.query] + expanded
+
+        with span("Backend/GraphSeeds", self.sink, trace_id):
+            seeds = self._graph_seed_rows(req.graph_id or "")
+
+        gw = req.graph_window if isinstance(req.graph_window, int) else None
+        with span("Backend/EngineQuery", self.sink, trace_id):
+            result = self.engine.query_batch(
+                [req.query],
+                expansions=[expanded],
+                seed_rows=[seeds] if seeds is not None else None,
+                top_k=top_k,
+                graph_window=gw if gw is not None else self.graph_window,
+                trace_id=trace_id,
+            )
+            hits = self.engine.hydrate_hits(result, 0)
+
+        diagnostics = {
+            "queries": queries,
+            **result.diagnostics,
+            "seed_mode": "qmatch" if seeds is not None else "bm25_weighted",
+            "seed_count": len(seeds) if seeds else 0,
+            "resolved_embed_model": (
+                self.router.resolve_embed_model() if self.router else "tpu-hash-encoder"
+            ),
+        }
+        if self.sink:
+            record_metrics(self.sink, trace_id, retrieval={
+                "hits": len(hits),
+                "device_ms": result.diagnostics.get("device_ms"),
+                "seed_mode": diagnostics["seed_mode"],
+            })
+        return {"hits": [h.model_dump() for h in hits], "diagnostics": diagnostics}
+
+    def retrieve(self, req: RetrievalIn) -> RetrievalOut:
+        out = self.run(req)
+        return RetrievalOut(
+            hits=[Hit(**h) for h in out["hits"]],
+            diagnostics=out["diagnostics"],
+        )

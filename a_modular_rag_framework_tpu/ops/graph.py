@@ -96,6 +96,45 @@ def expand_frontier(
     return scores.astype(jnp.float32), dist
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def expand_frontier_weighted(
+    neighbors: jax.Array,  # [N, deg] int32, -1 padded
+    seed_scores: jax.Array,  # [N] f32 (0 = not a seed)
+    *,
+    window: int,
+) -> jax.Array:
+    """Seed-strength propagation: score[m] = max over seeds s of
+    ``seed_scores[s] * decay(d(s, m))`` (d = path length, <= window).
+
+    This is the weighted variant of `expand_frontier` for corpus-scale
+    operation where seeds come from a scored candidate pool (e.g. BM25
+    top-k) rather than a uniform q_match set: a node reached from a strong
+    seed outranks one reached from a weak seed at the same hop distance.
+    Uniform seed scores reduce it exactly to `expand_frontier`'s decay(d).
+
+    Each hop is one scatter-max over the padded adjacency (max-plus SpMM);
+    the running max over hops is the result. Revisits are allowed — a strong
+    seed two hops away may legitimately beat a weak seed underfoot.
+    """
+    N, deg = neighbors.shape
+    decay = jnp.asarray(hop_decay_table(max(window, 0)))
+
+    wave = jnp.maximum(seed_scores, 0.0)
+    best = wave * decay[0]
+    for h in range(1, max(window, 0) + 1):
+        contrib = jnp.broadcast_to(wave[:, None], (N, deg))
+        flat_dst = neighbors.reshape(-1)
+        safe_dst = jnp.where(flat_dst >= 0, flat_dst, N)
+        new_wave = (
+            jnp.zeros((N + 1,), dtype=jnp.float32)
+            .at[safe_dst]
+            .max(contrib.reshape(-1))[:N]
+        )
+        wave = new_wave
+        best = jnp.maximum(best, wave * decay[h])
+    return best
+
+
 def build_neighbor_table(
     n_nodes: int,
     edges_src: np.ndarray,

@@ -1,0 +1,198 @@
+"""Query engine vs a host oracle that mirrors the reference hybrid fusion,
+plus sharded dense retrieval on the 8-device CPU mesh."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
+from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
+from a_modular_rag_framework_tpu.index.builder import build_packed_index
+from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+from a_modular_rag_framework_tpu.models.hash_embed import hash_embed_numpy, tokenize
+from a_modular_rag_framework_tpu.parallel.mesh import build_mesh
+from a_modular_rag_framework_tpu.parallel.sharded import shard_corpus_rows, sharded_dense_topk
+
+
+@pytest.fixture(scope="module")
+def packed():
+    samples = SyntheticHotpotQALoader({"count": 20, "seed": 5}).load()
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    return build_packed_index(corpus, embed_dim=64, embed_dtype="float32"), samples
+
+
+def hybrid_oracle(corpus_texts, query, variants, seeds, window, pool_k, k,
+                  alphas=(0.4, 0.2, 0.4), nbrs=None):
+    """Host reimplementation of the engine semantics (reference fusion rules)."""
+    from tests.test_ops import bm25_oracle, bfs_decay_oracle
+
+    n = len(corpus_texts)
+    text = bm25_oracle(corpus_texts, variants, merge="max")
+    order = np.argsort(-text, kind="stable")
+    pool = [i for i in order[:pool_k] if text[i] > 0]
+
+    emb = hash_embed_numpy(corpus_texts, dim=64)
+    q = hash_embed_numpy([query], dim=64)[0]
+    dense = np.zeros(n)
+    for i in pool:
+        denom = np.linalg.norm(q) * np.linalg.norm(emb[i])
+        dense[i] = float(q @ emb[i] / denom) if denom else 0.0
+
+    edges = []
+    if nbrs is not None:
+        for a in range(n):
+            for b in nbrs[a]:
+                if b >= 0:
+                    edges.append((a, int(b)))
+    graph = bfs_decay_oracle(n, edges, seeds, window) if seeds else np.zeros(n)
+    g_order = np.argsort(-graph, kind="stable")
+    g_pool = [i for i in g_order[:pool_k] if graph[i] > 0]
+
+    def norm(vals, present):
+        if not present:
+            return np.zeros(n)
+        vs = [vals[i] for i in present]
+        lo, hi = min(vs), max(vs)
+        out = np.zeros(n)
+        if hi <= lo:
+            return out
+        for i in present:
+            out[i] = (vals[i] - lo) / (hi - lo)
+        return out
+
+    nt, ng, nd = norm(text, pool), norm(graph, g_pool), norm(dense, pool)
+    union = sorted(set(pool) | set(g_pool))
+    fused = {i: alphas[0] * nt[i] + alphas[1] * ng[i] + alphas[2] * nd[i] for i in union}
+    ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:k]
+    return ranked, (nt, ng, nd)
+
+
+def test_engine_matches_hybrid_oracle(packed):
+    idx, samples = packed
+    engine = TPUQueryEngine(
+        idx,
+        config=EngineConfig(top_k=10, pool_k=50, graph_window=2,
+                            include_entity_graph=False, batch_buckets=(1, 4)),
+    )
+    q = samples[0]["question"]
+    variants = [q, " ".join(tokenize(q)[:4])]
+    seeds = engine.qmatch_seed_rows(q, range(min(len(idx.corpus), 200)))[:32]
+
+    res = engine.query_batch([q], expansions=[variants[1:]], seed_rows=[seeds])
+    got_ids = np.asarray(res.hits.ids)[0]
+    got_scores = np.asarray(res.hits.scores)[0]
+
+    ranked, _ = hybrid_oracle(
+        idx.corpus.texts(), q, variants, seeds, window=2, pool_k=50, k=10,
+        nbrs=idx.graph_next,
+    )
+    want_ids = [i for i, _ in ranked]
+    want_scores = [s for _, s in ranked]
+    got_valid = [int(i) for i in got_ids if i >= 0][: len(want_ids)]
+    # scores must match (id order may differ within score ties)
+    np.testing.assert_allclose(got_scores[: len(want_scores)], want_scores, atol=2e-3)
+    overlap = len(set(got_valid) & set(want_ids)) / max(1, len(want_ids))
+    assert overlap >= 0.9, (got_valid, want_ids)
+
+
+def _sf_recall(idx, samples, cfg):
+    engine = TPUQueryEngine(idx, config=cfg)
+    by = idx.corpus.row_by_title_sid()
+    hit, total = 0, 0
+    for s in samples:
+        res = engine.query_batch([s["question"]])
+        got = set(int(i) for i in np.asarray(res.hits.ids)[0] if i >= 0)
+        for t, sid in s["supporting_facts"]:
+            row = by.get((t, sid))
+            if row is None:
+                continue
+            total += 1
+            hit += int(row in got)
+    return hit, total
+
+
+def test_engine_retrieves_supporting_facts(packed):
+    """Recall sanity on an adversarial synthetic corpus (name-collision
+    distractors): hybrid with weighted graph expansion must not lose to
+    BM25-only, and must find at least half the supporting facts single-shot
+    (the verify-retry loop handles the rest at the pipeline level)."""
+    idx, samples = packed
+    hit, total = _sf_recall(
+        idx, samples[:16],
+        EngineConfig(top_k=20, pool_k=100, graph_window=2, batch_buckets=(1, 8)),
+    )
+    hit_bm25, _ = _sf_recall(
+        idx, samples[:16],
+        EngineConfig(top_k=20, pool_k=100, graph_window=0, alpha_graph=0.0,
+                     batch_buckets=(1, 8)),
+    )
+    assert total > 0
+    assert hit >= hit_bm25, f"hybrid {hit} < bm25-only {hit_bm25}"
+    assert hit / total >= 0.5, f"supporting-fact recall {hit}/{total}"
+
+
+def test_engine_batching_and_padding(packed):
+    idx, _ = packed
+    engine = TPUQueryEngine(idx, config=EngineConfig(top_k=5, pool_k=20,
+                                                     batch_buckets=(4,)))
+    res = engine.query_batch(["Alden", "Brisa", "Corin"])  # B=3 -> bucket 4
+    assert res.hits.ids.shape == (3, 5)
+    assert res.diagnostics["batch_bucket"] == 4
+
+
+def test_engine_empty_query_and_empty_index(packed):
+    idx, _ = packed
+    engine = TPUQueryEngine(idx, config=EngineConfig(batch_buckets=(1,)))
+    res = engine.query_batch([""])
+    assert (np.asarray(res.hits.ids) == -1).all() or res.hits.ids.shape[0] == 1
+
+    empty_idx = build_packed_index(SentenceCorpus(docs=[]), embed_dim=8)
+    engine2 = TPUQueryEngine(empty_idx)
+    res2 = engine2.query_batch(["anything"])
+    assert res2.diagnostics.get("empty_index") is True
+    assert (np.asarray(res2.hits.ids) == -1).all()
+
+
+def test_engine_hydration(packed):
+    idx, samples = packed
+    engine = TPUQueryEngine(idx, config=EngineConfig(top_k=5, batch_buckets=(1,)))
+    res = engine.query_batch([samples[0]["question"]])
+    hits = engine.hydrate_hits(res, 0, extra_meta={"source": "engine"})
+    assert hits and hits[0].id.startswith("sent::")
+    m = hits[0].meta
+    assert {"score_text_norm", "score_graph_norm", "score_dense_norm",
+            "text", "doc", "sent_id", "source"} <= set(m)
+    assert m["source"] == "engine"
+
+
+# ---------------- sharded dense (8-device CPU mesh) ----------------
+
+
+def test_sharded_dense_topk_matches_single_device(rng):
+    mesh = build_mesh({"data": -1})
+    n_dev = mesh.devices.size
+    assert n_dev == 8  # conftest forces 8 virtual CPU devices
+    N, d, B, k = 1024, 32, 4, 10
+    emb = rng.standard_normal((N, d)).astype(np.float32)
+    q = rng.standard_normal((B, d)).astype(np.float32)
+
+    emb_sharded = shard_corpus_rows(jnp.asarray(emb), mesh)
+    s_sh, i_sh = sharded_dense_topk(jnp.asarray(q), emb_sharded, k, mesh,
+                                    precision=jax.lax.Precision.HIGHEST)
+    ref = q @ emb.T
+    want_ids = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(s_sh), np.take_along_axis(ref, want_ids, 1), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i_sh), want_ids)
+
+
+def test_build_mesh_shapes():
+    m = build_mesh({"data": 4, "model": 2})
+    assert m.shape == {"data": 4, "model": 2}
+    m2 = build_mesh({"data": -1, "model": 2})
+    assert m2.shape["model"] == 2 and m2.shape["data"] == 4
+    with pytest.raises(ValueError):
+        build_mesh({"data": 3})
