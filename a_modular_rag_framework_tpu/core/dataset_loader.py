@@ -78,14 +78,32 @@ class SyntheticHotpotQALoader(DatasetLoader):
                   "illustrator", "jeweler", "kayaker", "librarian",
                   "mathematician", "novelist", "organist", "photographer"]
 
+    SYLLABLES = ["an", "bel", "cor", "dra", "el", "fen", "gar", "hol", "in",
+                 "jor", "kel", "lor", "mar", "nor", "or", "pel", "quin",
+                 "rav", "sel", "tor", "ul", "ven", "wyn", "xan", "yor", "zel"]
+
     def __init__(self, cfg: Dict[str, Any]):
         super().__init__(cfg)
         self.n = int(cfg.get("count", 64) if cfg.get("count", 64) != -1 else 64)
         self.index = int(cfg.get("index", 0))
         self.seed = int(cfg.get("seed", 0))
         self.n_distractors = int(cfg.get("n_distractors", 8))
+        # unique_entities: syllable-synthesized surnames keyed by a global
+        # counter, so large corpora don't collapse under (title, sent_id)
+        # dedup (the 20x20 name pools collide past ~400 docs)
+        self.unique_entities = bool(cfg.get("unique_entities", False))
+        self._name_counter = 0
+
+    def _synth_surname(self, idx: int) -> str:
+        s = self.SYLLABLES
+        parts = [s[idx % len(s)], s[(idx // len(s)) % len(s)],
+                 s[(idx // (len(s) ** 2)) % len(s)]]
+        return "".join(parts).capitalize()
 
     def _person(self, rng: random.Random) -> str:
+        if self.unique_entities:
+            self._name_counter += 1
+            return f"{rng.choice(self.FIRST)} {self._synth_surname(self._name_counter)}"
         return f"{rng.choice(self.FIRST)} {rng.choice(self.LAST)}"
 
     def _make_sample(self, i: int) -> Dict[str, Any]:

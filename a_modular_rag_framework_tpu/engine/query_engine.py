@@ -112,7 +112,9 @@ class TPUQueryEngine:
                 return s
         return b
 
-    def encode_queries(self, variants: Sequence[Sequence[str]]) -> Tuple[np.ndarray, np.ndarray]:
+    def encode_queries(
+        self, variants: Sequence[Sequence[str]], n_variants: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (q_emb [B, d] f32, term_ids [B, E, T] int32).
 
         ``variants[b]`` = [original, expansion1, ...]; the dense channel uses
@@ -120,7 +122,7 @@ class TPUQueryEngine:
         retrieval_backend.py:227), BM25 max-merges over all variants.
         """
         cfg = self.config
-        B, E, T = len(variants), cfg.qe_variants, cfg.max_query_terms
+        B, E, T = len(variants), n_variants or cfg.qe_variants, cfg.max_query_terms
         originals = [v[0] if v else "" for v in variants]
         q_emb = np.asarray(self.encoder.encode_texts(list(originals)), dtype=np.float32)
         term_ids = np.full((B, E, T), -1, dtype=np.int32)
@@ -309,7 +311,14 @@ class TPUQueryEngine:
             else:
                 v = [""]
             variants.append(v[: cfg.qe_variants])
-        q_emb, term_ids = self.encode_queries(variants)
+        # dynamic variant bucket: a batch with no expansions pays for E=1,
+        # not the configured maximum (BM25 gather/scatter work scales with E)
+        e_needed = max(len(v) for v in variants)
+        E = 1
+        while E < e_needed:
+            E *= 2
+        E = min(E, cfg.qe_variants)
+        q_emb, term_ids = self.encode_queries(variants, n_variants=E)
 
         seeds_explicit = seed_rows is not None
         S = cfg.max_seed_rows
@@ -319,7 +328,7 @@ class TPUQueryEngine:
                 rows = list(seed_rows[i])[:S]
                 seed_arr[i, : len(rows)] = rows
 
-        key = (B, cfg.qe_variants, cfg.max_query_terms, S, pool_k, k, window,
+        key = (B, E, cfg.max_query_terms, S, pool_k, k, window,
                seeds_explicit, cfg.graph_seed_weighted)
         fn = self._program(key)
 

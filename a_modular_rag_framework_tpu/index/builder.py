@@ -113,22 +113,28 @@ def build_packed_index(
     t0 = time.time()
 
     # --- embed: pipelined host featurize -> device encode ---
+    # every batch is padded to embed_batch so exactly ONE program shape
+    # compiles (the trailing partial batch otherwise costs a recompile)
     shards: List[np.ndarray] = []
-    pending = None  # (device_future,) — device result not yet materialized
+    pending = None  # device result not yet materialized (async dispatch)
+    pending_rows = 0
     for i in range(0, n, embed_batch):
         batch = texts[i : i + embed_batch]
+        rows = len(batch)
+        if rows < embed_batch:
+            batch = batch + [""] * (embed_batch - rows)
         if hasattr(encoder, "featurize"):
             feats = encoder.featurize(batch)
-            fut = encoder._encode(*feats, encoder.dim)  # async dispatch
+            fut = encoder._encode(*feats, encoder.dim)
         else:
             fut = encoder.encode_texts(batch)
         if pending is not None:
-            shards.append(np.asarray(pending))
-        pending = fut
+            shards.append(np.asarray(pending)[:pending_rows])
+        pending, pending_rows = fut, rows
         if progress:
             progress(min(i + embed_batch, n), n, "embed")
     if pending is not None:
-        shards.append(np.asarray(pending))
+        shards.append(np.asarray(pending)[:pending_rows])
     emb = np.concatenate(shards, axis=0) if shards else np.zeros((0, embed_dim), np.float32)
     t_embed = time.time() - t0
 

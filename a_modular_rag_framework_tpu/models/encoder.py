@@ -1,0 +1,267 @@
+"""TextEncoder — the flagship learned embedding model (pure JAX).
+
+The reference fetched embeddings from the OpenAI API (text-embedding-3-large
+via retrieval_backend.py:227-243); this is the local replacement: a compact
+pre-norm transformer encoder producing L2-normalized sentence embeddings,
+trained contrastively (in-batch InfoNCE over query/passage pairs, the
+standard dense-retrieval recipe).
+
+TPU-first design decisions:
+  - all heavy math is batched matmul in bf16 with f32 accumulation;
+  - params are a plain pytree with explicit per-leaf PartitionSpecs:
+    batch over the ``data`` mesh axis, attention heads + MLP hidden over
+    ``model`` (tensor parallelism); GSPMD inserts the collectives;
+  - hash tokenization (stable crc32 buckets) removes any external vocab
+    dependency — the same host tokenizer feeds index build and queries;
+  - the encoder is a drop-in for `models.hash_embed.HashEmbedEncoder`
+    behind ``encode_texts``.
+"""
+from __future__ import annotations
+
+import functools
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .hash_embed import tokenize
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 8192
+    max_len: int = 64
+    d_model: int = 128
+    n_heads: int = 4
+    n_layers: int = 2
+    d_ff: int = 512
+    dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
+
+
+# ---------------- tokenizer ----------------
+
+
+def encode_tokens(texts: List[str], cfg: EncoderConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (token_ids int32 [B, L], mask f32 [B, L]); bucket = crc32 % vocab."""
+    B, L = len(texts), cfg.max_len
+    ids = np.zeros((B, L), dtype=np.int32)
+    mask = np.zeros((B, L), dtype=np.float32)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)[:L]
+        for j, tok in enumerate(toks):
+            ids[i, j] = zlib.crc32(tok.encode()) % cfg.vocab_size
+            mask[i, j] = 1.0
+    return ids, mask
+
+
+# ---------------- params ----------------
+
+
+def init_params(rng: jax.Array, cfg: EncoderConfig) -> Dict[str, Any]:
+    k_emb, k_pos, *k_layers = jax.random.split(rng, 2 + cfg.n_layers)
+    scale = cfg.d_model ** -0.5
+    params: Dict[str, Any] = {
+        "tok_emb": jax.random.normal(k_emb, (cfg.vocab_size, cfg.d_model)) * scale,
+        "pos_emb": jax.random.normal(k_pos, (cfg.max_len, cfg.d_model)) * scale,
+        "layers": [],
+        "out_ln": {"g": jnp.ones((cfg.d_model,)), "b": jnp.zeros((cfg.d_model,))},
+    }
+    for kl in k_layers:
+        ks = jax.random.split(kl, 4)
+        d, f = cfg.d_model, cfg.d_ff
+        params["layers"].append({
+            "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "wqkv": jax.random.normal(ks[0], (d, 3 * d)) * scale,
+            "wo": jax.random.normal(ks[1], (d, d)) * scale,
+            "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "w1": jax.random.normal(ks[2], (d, f)) * scale,
+            "w2": jax.random.normal(ks[3], (f, d)) * (f ** -0.5),
+        })
+    return params
+
+
+def param_partition_specs(cfg: EncoderConfig) -> Dict[str, Any]:
+    """Tensor-parallel layout: attention heads and MLP hidden sharded over
+    ``model``; embeddings sharded over the feature dim; norms replicated."""
+    layer = {
+        "ln1": {"g": P(), "b": P()},
+        "wqkv": P(None, "model"),
+        "wo": P("model", None),
+        "ln2": {"g": P(), "b": P()},
+        "w1": P(None, "model"),
+        "w2": P("model", None),
+    }
+    return {
+        "tok_emb": P(None, "model"),
+        "pos_emb": P(None, "model"),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "out_ln": {"g": P(), "b": P()},
+    }
+
+
+# ---------------- forward ----------------
+
+
+def _layer_norm(x, g, b, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _attention(x, wqkv, wo, mask, n_heads: int, dtype):
+    B, L, D = x.shape
+    qkv = jnp.dot(x.astype(dtype), wqkv.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    dh = D // n_heads
+
+    def heads(t):
+        return t.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(dh)
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(jnp.float32))
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return jnp.dot(out.astype(dtype), wo.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def apply_encoder(params: Dict[str, Any], token_ids: jax.Array, mask: jax.Array,
+                  cfg: EncoderConfig) -> jax.Array:
+    """token ids [B, L] -> L2-normalized embeddings [B, d_model] f32."""
+    x = jnp.take(params["tok_emb"], token_ids, axis=0)
+    x = x + params["pos_emb"][None, : token_ids.shape[1], :]
+    x = x.astype(jnp.float32)
+    for layer in params["layers"]:
+        h = _layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"])
+        x = x + _attention(h, layer["wqkv"], layer["wo"], mask,
+                           cfg.n_heads, cfg.dtype)
+        h = _layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"])
+        h = jnp.dot(h.astype(cfg.dtype), layer["w1"].astype(cfg.dtype),
+                    preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h)
+        h = jnp.dot(h.astype(cfg.dtype), layer["w2"].astype(cfg.dtype),
+                    preferred_element_type=jnp.float32)
+        x = x + h
+    x = _layer_norm(x, params["out_ln"]["g"], params["out_ln"]["b"])
+
+    m = mask[:, :, None]
+    pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-6)
+    norms = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norms, 1e-9)
+
+
+# ---------------- training ----------------
+
+
+def info_nce_loss(params, batch, cfg: EncoderConfig, temperature: float = 0.05):
+    """In-batch contrastive loss over (query, positive-passage) pairs."""
+    q = apply_encoder(params, batch["q_ids"], batch["q_mask"], cfg)
+    p = apply_encoder(params, batch["p_ids"], batch["p_mask"], cfg)
+    logits = jnp.dot(q, p.T, preferred_element_type=jnp.float32) / temperature
+    labels = jnp.arange(q.shape[0])
+    loss = jnp.mean(
+        -jax.nn.log_softmax(logits, axis=-1)[labels, labels]
+    )
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+    return loss, acc
+
+
+def make_train_step(cfg: EncoderConfig, learning_rate: float = 1e-3):
+    """AdamW train step (optax); jit/pjit-ready pure function."""
+    import optax
+
+    tx = optax.adamw(learning_rate)
+
+    def init_state(params):
+        return tx.init(params)
+
+    def train_step(params, opt_state, batch):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: info_nce_loss(p, batch, cfg), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    return init_state, train_step
+
+
+def shard_train_step(cfg: EncoderConfig, mesh: Mesh, learning_rate: float = 1e-3):
+    """Sharded training step over a (data, model) mesh.
+
+    Params/opt-state follow `param_partition_specs` (tensor parallel);
+    batches shard over ``data``. Returns (place_params, place_batch,
+    jitted_step).
+    """
+    init_state, train_step = make_train_step(cfg, learning_rate)
+    pspecs = param_partition_specs(cfg)
+
+    def named(tree_specs):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            tree_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    param_sh = named(pspecs)
+    batch_sh = NamedSharding(mesh, P("data", None))
+
+    def place_params(params):
+        return jax.device_put(params, param_sh)
+
+    def place_batch(batch):
+        return {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    return place_params, place_batch, init_state, step
+
+
+# ---------------- inference wrapper ----------------
+
+
+class TextEncoder:
+    """Drop-in encoder object: tokenizes on host, embeds on device."""
+
+    def __init__(self, cfg: Optional[EncoderConfig] = None, params=None,
+                 seed: int = 0):
+        self.cfg = cfg or EncoderConfig()
+        if params is None:
+            params = init_params(jax.random.PRNGKey(seed), self.cfg)
+        self.params = params
+        self._apply = jax.jit(
+            functools.partial(apply_encoder, cfg=self.cfg)
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.d_model
+
+    def encode_texts(self, texts: List[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.cfg.d_model), dtype=np.float32)
+        ids, mask = encode_tokens(list(texts), self.cfg)
+        return np.asarray(self._apply(self.params, jnp.asarray(ids),
+                                      jnp.asarray(mask)))
+
+    def save(self, path: str) -> None:
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
+        np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
+                          for k, v in flat})
+
+    # training-pair helper for the contrastive recipe
+    @staticmethod
+    def make_pair_batch(queries: List[str], passages: List[str],
+                        cfg: EncoderConfig) -> Dict[str, np.ndarray]:
+        q_ids, q_mask = encode_tokens(queries, cfg)
+        p_ids, p_mask = encode_tokens(passages, cfg)
+        return {"q_ids": q_ids, "q_mask": q_mask,
+                "p_ids": p_ids, "p_mask": p_mask}

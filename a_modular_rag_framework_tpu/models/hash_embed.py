@@ -74,7 +74,17 @@ class HashEmbedEncoder:
         """Return padded (buckets int32 [B, L], signs float32 [B, L]).
 
         Padding rows point at bucket 0 with sign 0 (no-op contribution).
+        Uses the native C++ featurizer when available (bit-exact; ~50x the
+        python loop), falling back to pure Python.
         """
+        try:
+            from ..native import featurize_batch_native
+
+            native = featurize_batch_native(texts, self.dim, self.max_features)
+            if native is not None:
+                return native
+        except ImportError:
+            pass
         B, L = len(texts), self.max_features
         buckets = np.zeros((B, L), dtype=np.int32)
         signs = np.zeros((B, L), dtype=np.float32)

@@ -113,6 +113,22 @@ class GraphConstructionArrays:
         json_path.write_text(json.dumps(summary, ensure_ascii=False, indent=2),
                              encoding="utf-8")
 
+        gexf_path = out_dir / "graph.gexf"
+        try:  # optional GEXF for interop with reference-era tooling
+            import networkx as nx
+
+            G = nx.DiGraph()
+            for nd in json_nodes:
+                G.add_node(nd["id"], **{k: v for k, v in nd.items()
+                                        if k != "id" and v is not None})
+            for e in json_edges:
+                G.add_edge(e["source"], e["target"],
+                           **{k: v for k, v in e.items()
+                              if k not in ("source", "target") and v is not None})
+            nx.write_gexf(G, gexf_path)
+        except Exception:
+            gexf_path = None
+
         packed = pack_adjacency(nodes, edges)
         np.savez(out_dir / "adjacency.npz",
                  neighbors=packed["neighbors"],
@@ -126,6 +142,7 @@ class GraphConstructionArrays:
             "paths": {
                 "dir": str(out_dir),
                 "json": str(json_path),
+                "gexf": str(gexf_path) if gexf_path else None,
                 "adjacency": str(out_dir / "adjacency.npz"),
                 "manifest": str(out_dir / "manifest.json"),
             },

@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host-path runtime (native/text_native.cpp).
+
+The library is compiled on first use (g++ -O3 -shared, cached beside the
+source with a content hash); every entry point has a pure-Python fallback so
+the framework works without a toolchain. The native paths cover:
+
+  - `featurize_batch_native`: hash featurization for the encoder host stage;
+  - `token_counts_native`: doc lengths;
+  - `bm25_build_native`: streaming corpus -> CSR postings with precomputed,
+    contribution-sorted BM25 scores (the index-build hot loop).
+
+Bit-exact with the Python implementations (same crc32, same tokenizer, same
+BM25 math) — asserted by tests/test_native.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import subprocess
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "text_native.cpp"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[Path]:
+    if not _SRC.exists():
+        return None
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    out = _SRC.parent / f"text_native_{digest}.so"
+    if out.exists():
+        return out
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(out), "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return out
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.warning("native build failed (%r); using python fallback", e)
+        return None
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build_lib()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError as e:
+            logger.warning("native load failed: %r", e)
+            return None
+
+        c_char_pp = ctypes.POINTER(ctypes.c_char_p)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+
+        lib.featurize_batch.argtypes = [c_char_pp, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, i32p, f32p]
+        lib.token_counts.argtypes = [c_char_pp, ctypes.c_int, i32p]
+        lib.bm25_create.restype = ctypes.c_void_p
+        lib.bm25_destroy.argtypes = [ctypes.c_void_p]
+        lib.bm25_add_docs.argtypes = [ctypes.c_void_p, c_char_pp, ctypes.c_int]
+        lib.bm25_finalize.argtypes = [ctypes.c_void_p, ctypes.c_float, ctypes.c_float]
+        lib.bm25_finalize.restype = ctypes.c_int64
+        for name in ("bm25_vocab_size", "bm25_vocab_blob_size", "bm25_n_docs"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p]
+            fn.restype = ctypes.c_int64
+        lib.bm25_export.argtypes = [ctypes.c_void_p, i32p, f32p, f32p, i32p,
+                                    f32p, f32p, ctypes.c_char_p]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def _text_array(texts: List[str]):
+    arr = (ctypes.c_char_p * len(texts))()
+    encoded = [t.encode("utf-8", errors="ignore") for t in texts]
+    for i, e in enumerate(encoded):
+        arr[i] = e
+    return arr, encoded  # keep `encoded` alive
+
+
+def featurize_batch_native(
+    texts: List[str], dim: int, max_features: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = load_native()
+    if lib is None or not texts:
+        return None
+    n = len(texts)
+    buckets = np.zeros((n, max_features), dtype=np.int32)
+    signs = np.zeros((n, max_features), dtype=np.float32)
+    arr, keep = _text_array(texts)
+    lib.featurize_batch(
+        arr, n, dim, max_features,
+        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return buckets, signs
+
+
+def token_counts_native(texts: List[str]) -> Optional[np.ndarray]:
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int32)
+    arr, keep = _text_array(texts)
+    lib.token_counts(arr, n, counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return counts
+
+
+def bm25_build_native(
+    texts: List[str], k1: float = 1.5, b: float = 0.75, chunk: int = 65536
+) -> Optional[Dict[str, object]]:
+    """Streaming native BM25 build; returns the Bm25DeviceIndex field dict."""
+    lib = load_native()
+    if lib is None:
+        return None
+    h = lib.bm25_create()
+    try:
+        for i in range(0, len(texts), chunk):
+            part = texts[i : i + chunk]
+            arr, keep = _text_array(part)
+            lib.bm25_add_docs(h, arr, len(part))
+        total = int(lib.bm25_finalize(h, k1, b))
+        V = int(lib.bm25_vocab_size(h))
+        n_docs = int(lib.bm25_n_docs(h))
+        blob_size = int(lib.bm25_vocab_blob_size(h))
+
+        doc_ids = np.zeros(total, dtype=np.int32)
+        tfs = np.zeros(total, dtype=np.float32)
+        scores = np.zeros(total, dtype=np.float32)
+        row_ptr = np.zeros(V + 1, dtype=np.int32)
+        df = np.zeros(V, dtype=np.float32)
+        doc_lens = np.zeros(n_docs, dtype=np.float32)
+        blob = ctypes.create_string_buffer(blob_size)
+        lib.bm25_export(
+            h,
+            doc_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            df.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            doc_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            blob,
+        )
+        terms = blob.raw[:blob_size].decode("utf-8").splitlines()
+        vocab = {t: i for i, t in enumerate(terms)}
+        return {"doc_ids": doc_ids, "tfs": tfs, "scores": scores,
+                "row_ptr": row_ptr, "df": df, "doc_lens": doc_lens,
+                "vocab": vocab}
+    finally:
+        lib.bm25_destroy(h)

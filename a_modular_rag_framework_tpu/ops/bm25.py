@@ -74,7 +74,26 @@ class Bm25DeviceIndex:
     # ---- construction ----
 
     @classmethod
-    def build(cls, texts: Sequence[str], k1: float = 1.5, b: float = 0.75) -> "Bm25DeviceIndex":
+    def build(cls, texts: Sequence[str], k1: float = 1.5, b: float = 0.75,
+              use_native: bool = True) -> "Bm25DeviceIndex":
+        """Build from texts — native C++ streaming builder when available
+        (bit-exact with the Python path, which remains the test oracle)."""
+        if use_native:
+            try:
+                from ..native import bm25_build_native
+
+                out = bm25_build_native(list(texts), k1=k1, b=b)
+                if out is not None:
+                    return cls(doc_ids=out["doc_ids"], tfs=out["tfs"],
+                               row_ptr=out["row_ptr"], df=out["df"],
+                               doc_lens=out["doc_lens"], vocab=out["vocab"],
+                               k1=k1, b=b, scores=out["scores"])
+            except ImportError:
+                pass
+        return cls.build_python(texts, k1=k1, b=b)
+
+    @classmethod
+    def build_python(cls, texts: Sequence[str], k1: float = 1.5, b: float = 0.75) -> "Bm25DeviceIndex":
         vocab: Dict[str, int] = {}
         postings: List[Dict[int, int]] = []  # term id -> {doc: tf}
         doc_lens = np.zeros(len(texts), dtype=np.float32)

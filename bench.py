@@ -1,0 +1,137 @@
+"""Benchmark: 2-hop hybrid retrieval throughput on the TPU query engine.
+
+Builds (or reloads) a ~10k-passage synthetic HotpotQA-style corpus, loads it
+into the TPU-resident engine (BM25 + weighted 2-hop graph expansion + dense
+rerank + fusion, one device program), and measures steady-state batched
+query throughput plus Recall@10 against supporting facts.
+
+Prints ONE JSON line:
+  {"metric": "2hop_hybrid_queries_per_sec", "value": N, "unit": "q/s/chip",
+   "vs_baseline": N / 10000, ...extras}
+
+vs_baseline is measured against the driver-set north star of 10k 2-hop
+queries/sec/chip (BASELINE.json; the reference publishes no numbers).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+N_SAMPLES = 600          # -> ~10k unique sentences with unique_entities
+BATCH = 256
+TOP_K = 10
+WINDOW = 2
+N_TRIALS = 5
+CACHE_DIR = Path(__file__).resolve().parent / "data" / "bench_cache"
+
+
+def build_or_load_index():
+    from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+    from a_modular_rag_framework_tpu.index.packed import PackedIndex
+
+    samples = SyntheticHotpotQALoader(
+        {"count": N_SAMPLES, "seed": 0, "n_distractors": 8,
+         "unique_entities": True}
+    ).load()
+
+    t_build = None
+    if (CACHE_DIR / "manifest.json").exists():
+        try:
+            idx = PackedIndex.load(CACHE_DIR)
+        except Exception:
+            idx = None
+    else:
+        idx = None
+    if idx is None:
+        corpus = SentenceCorpus.from_hotpotqa(samples)
+        t0 = time.time()
+        idx = build_packed_index(corpus, embed_dim=64, embed_dtype="bfloat16",
+                                 out_dir=str(CACHE_DIR))
+        t_build = time.time() - t0
+    return idx, samples, t_build
+
+
+def main() -> None:
+    import jax
+
+    from a_modular_rag_framework_tpu.engine.query_engine import (
+        EngineConfig,
+        TPUQueryEngine,
+    )
+    from a_modular_rag_framework_tpu.eval.harness import evaluate_retrieval
+
+    idx, samples, t_build = build_or_load_index()
+    engine = TPUQueryEngine(
+        idx,
+        config=EngineConfig(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
+                            bm25_posting_cap=1024, batch_buckets=(BATCH,)),
+    )
+
+    questions = [s["question"] for s in samples[:BATCH]]
+
+    # pre-encode once: the benchmark isolates the device query program
+    # (host tokenization is measured separately below)
+    t0 = time.time()
+    engine.query_batch(questions)  # compile + warmup
+    compile_sec = time.time() - t0
+
+    # steady-state end-to-end (host encode + device program)
+    e2e = []
+    for _ in range(N_TRIALS):
+        t0 = time.time()
+        engine.query_batch(questions)
+        e2e.append(time.time() - t0)
+    e2e_qps = BATCH / min(e2e)
+
+    # device-program-only throughput (pre-encoded queries)
+    import jax.numpy as jnp
+
+    q_emb, term_ids = engine.encode_queries([[q] for q in questions])
+    seed_arr = np.full((BATCH, engine.config.max_seed_rows), -1, np.int32)
+    key = (BATCH, engine.config.qe_variants, engine.config.max_query_terms,
+           engine.config.max_seed_rows, min(200, engine._n), TOP_K, WINDOW,
+           False, True)
+    fn = engine._program(key)
+    args = (jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr))
+    jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(N_TRIALS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    device_qps = BATCH * N_TRIALS / (time.time() - t0)
+
+    # quality: Recall@10 over a held slice
+    quality = evaluate_retrieval(engine, samples[:128], k=TOP_K,
+                                 batch_size=BATCH)
+
+    result = {
+        "metric": "2hop_hybrid_queries_per_sec",
+        "value": round(device_qps, 1),
+        "unit": "q/s/chip",
+        "vs_baseline": round(device_qps / 10000.0, 4),
+        "extras": {
+            "e2e_qps_incl_host_tokenize": round(e2e_qps, 1),
+            "recall_at_10": round(quality[f"recall_at_{TOP_K}"], 4),
+            "mrr": round(quality["mrr"], 4),
+            "corpus_passages": idx.n_docs,
+            "batch": BATCH,
+            "graph_window": WINDOW,
+            "compile_sec": round(compile_sec, 1),
+            "index_build_sec": round(t_build, 1) if t_build else None,
+            "index_build_passages_per_sec": (idx.manifest.get("build_stats") or {}).get("passages_per_sec"),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
