@@ -40,7 +40,7 @@ import numpy as np
 from ..core.dto import HitBatch
 from ..index.packed import PackedIndex
 from ..models.hash_embed import HashEmbedEncoder, tokenize
-from ..ops.bm25 import bm25_scores_batched
+from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels
 from ..ops.graph import expand_frontier, expand_frontier_weighted
 from ..telemetry.sinks import TelemetrySink, record_device_timing
@@ -53,7 +53,10 @@ class EngineConfig:
     qe_variants: int = 4  # 1 original + up to 3 expansions
     max_query_terms: int = 32
     max_seed_rows: int = 64
-    bm25_posting_cap: int = 4096
+    bm25_posting_cap: int = 4096  # scatter path capacity (parity oracle)
+    bm25_impl: str = "sorted"  # "sorted" (scatter-free, fast) | "scatter"
+    bm25_term_topm: int = 128  # sorted path: postings window per term occurrence
+    bm25_doc_cap: int = 64  # sorted path: doc-major window for exact re-score
     graph_window: int = 1
     include_entity_graph: bool = True
     alpha_text: float = 0.4
@@ -88,6 +91,9 @@ class TPUQueryEngine:
         config: Optional[EngineConfig] = None,
         sink: Optional[TelemetrySink] = None,
     ):
+        from ..utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()
         self.index = index
         self.config = config or EngineConfig()
         self.sink = sink
@@ -162,16 +168,45 @@ class TPUQueryEngine:
 
         def program(q_emb, term_ids, seed_rows):
             # ---- text channel: BM25 max-merged over query variants ----
-            text_scores = bm25_scores_batched(
-                term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
-                n_docs=n, cap=cap, merge="max",
-            )  # [B, N]
-            pool_s, pool_i = jax.lax.top_k(text_scores, pool_k)
-            pool_valid = pool_s > 0
-            rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
+            if cfg.bm25_impl == "sorted":
+                # two-phase scatter-free BM25: sort-aggregate candidate pool
+                # (term_topm window, approximate membership at the tail) +
+                # EXACT doc-major re-score of the selected pool
+                pool_s, pool_i = bm25_topk_sorted(
+                    term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
+                    n_docs=n, term_topm=min(cfg.bm25_term_topm, cap),
+                    pool_k=pool_k,
+                )
+                pad = pool_k - pool_s.shape[1]
+                if pad > 0:
+                    pool_s = jnp.pad(pool_s, ((0, 0), (0, pad)))
+                    pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)),
+                                     constant_values=-1)
+                pool_s = bm25_rescore_pool(
+                    pool_i, term_ids, bm["doc_terms"], bm["doc_scores"],
+                    bm["doc_ptr"], n_docs=n, doc_cap=cfg.bm25_doc_cap,
+                )
+                pool_valid = (pool_s > 0) & (pool_i >= 0)
+                rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
+                safe_pool = jnp.where(pool_valid, pool_i, n)
+                # dense [B, N] text scores for fusion (small pool scatter)
+                text_scores = (
+                    jnp.zeros((B, n + 1), dtype=jnp.float32)
+                    .at[rows_b, safe_pool]
+                    .set(jnp.where(pool_valid, pool_s, 0.0))[:, :n]
+                )
+            else:
+                text_scores = bm25_scores_batched(
+                    term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
+                    n_docs=n, cap=cap, merge="max",
+                )  # [B, N]
+                pool_s, pool_i = jax.lax.top_k(text_scores, pool_k)
+                pool_valid = pool_s > 0
+                rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
+                safe_pool = jnp.where(pool_valid, pool_i, n)
             text_present = (
                 jnp.zeros((B, n + 1), dtype=jnp.bool_)
-                .at[rows_b, jnp.where(pool_valid, pool_i, n)]
+                .at[rows_b, safe_pool]
                 .set(True)[:, :n]
             )
 

@@ -1,0 +1,145 @@
+"""Concurrent query serving: a micro-batching front for the query engine.
+
+BASELINE.json config 5's serving story: many concurrent callers, one
+device-resident index. Requests land in a queue; a dispatcher thread drains
+up to ``max_batch`` at a time into a single engine call (bucketed shapes
+mean no recompiles), and futures resolve per-caller. The host agent loop
+never starves the device: while one batch executes, the next accumulates.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+from ..core.dto import Hit
+
+
+@dataclass
+class _Request:
+    query: str
+    expansions: Optional[Sequence[str]]
+    seed_rows: Optional[Sequence[int]]
+    top_k: Optional[int]
+    graph_window: Optional[int]
+    future: Future = field(default_factory=Future)
+
+
+class QueryServer:
+    """Thread-safe micro-batching wrapper around `TPUQueryEngine`.
+
+    Usage:
+        server = QueryServer(engine, max_batch=64)
+        server.start()
+        fut = server.submit("who wrote x")
+        hits = fut.result()   # List[Hit]
+        server.stop()
+    """
+
+    def __init__(self, engine, *, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.stats: Dict[str, Any] = {"batches": 0, "queries": 0,
+                                      "batch_sizes": []}
+
+    # ---- lifecycle ----
+
+    def start(self) -> "QueryServer":
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="query-server")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def __enter__(self) -> "QueryServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ---- client API ----
+
+    def submit(
+        self,
+        query: str,
+        *,
+        expansions: Optional[Sequence[str]] = None,
+        seed_rows: Optional[Sequence[int]] = None,
+        top_k: Optional[int] = None,
+        graph_window: Optional[int] = None,
+    ) -> Future:
+        """Returns a Future resolving to List[Hit]."""
+        req = _Request(query=query, expansions=expansions, seed_rows=seed_rows,
+                       top_k=top_k, graph_window=graph_window)
+        self._q.put(req)
+        return req.future
+
+    def query(self, query: str, **kw) -> List[Hit]:
+        return self.submit(query, **kw).result()
+
+    # ---- dispatcher ----
+
+    def _drain(self) -> List[_Request]:
+        batch: List[_Request] = []
+        try:
+            batch.append(self._q.get(timeout=0.05))
+        except queue.Empty:
+            return batch
+        deadline = time.time() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.time()
+            if timeout <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=timeout))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            # requests sharing (top_k, window, seed-mode) can share a program;
+            # group to keep shapes uniform
+            groups: Dict[Any, List[_Request]] = {}
+            for r in batch:
+                key = (r.top_k, r.graph_window, r.seed_rows is not None)
+                groups.setdefault(key, []).append(r)
+            for (top_k, window, has_seeds), reqs in groups.items():
+                try:
+                    result = self.engine.query_batch(
+                        [r.query for r in reqs],
+                        expansions=[list(r.expansions or []) for r in reqs],
+                        seed_rows=([list(r.seed_rows or []) for r in reqs]
+                                   if has_seeds else None),
+                        top_k=top_k,
+                        graph_window=window,
+                    )
+                    for i, r in enumerate(reqs):
+                        hits = self.engine.hydrate_hits(result, i)
+                        r.future.set_result(hits)
+                    self.stats["batches"] += 1
+                    self.stats["queries"] += len(reqs)
+                    self.stats["batch_sizes"].append(len(reqs))
+                except Exception as e:  # pragma: no cover
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)

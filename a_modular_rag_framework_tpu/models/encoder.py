@@ -257,6 +257,28 @@ class TextEncoder:
         np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
                           for k, v in flat})
 
+    @classmethod
+    def load(cls, path: str, cfg: Optional[EncoderConfig] = None) -> "TextEncoder":
+        """Restore weights saved by `save` (keys are keystr paths into the
+        param pytree; the template comes from init_params on the config)."""
+        cfg = cfg or EncoderConfig()
+        data = np.load(path)
+        template = init_params(jax.random.PRNGKey(0), cfg)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for k, v in flat:
+            key = jax.tree_util.keystr(k)
+            if key not in data:
+                raise KeyError(f"missing weight {key} in {path}")
+            arr = data[key]
+            if arr.shape != np.asarray(v).shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: {arr.shape} vs {np.asarray(v).shape}"
+                    " — check EncoderConfig matches the checkpoint")
+            leaves.append(jnp.asarray(arr))
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        return cls(cfg, params=params)
+
     # training-pair helper for the contrastive recipe
     @staticmethod
     def make_pair_batch(queries: List[str], passages: List[str],

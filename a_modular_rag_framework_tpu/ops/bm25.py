@@ -166,7 +166,30 @@ class Bm25DeviceIndex:
                        np.where(denom > 0, denom, 1.0)).astype(np.float32)
         return self.scores
 
+    def doc_major(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Doc-major CSR view: (doc_terms [P], doc_scores [P], doc_ptr [N+1]).
+
+        The transpose of the term-major postings, used for exact pool
+        re-scoring (`bm25_rescore_pool`). Derived once and cached."""
+        if getattr(self, "_doc_major", None) is not None:
+            return self._doc_major
+        scores = self.ensure_scores()
+        V = len(self.df)
+        term_of_posting = np.repeat(
+            np.arange(V, dtype=np.int32), np.diff(self.row_ptr).astype(np.int64)
+        )
+        doc_arr = np.asarray(self.doc_ids)
+        order = np.argsort(doc_arr, kind="stable")
+        doc_terms = term_of_posting[order]
+        doc_scores = np.asarray(scores)[order]
+        counts = np.bincount(doc_arr, minlength=self.n_docs)
+        doc_ptr = np.zeros(self.n_docs + 1, dtype=np.int32)
+        np.cumsum(counts, out=doc_ptr[1:])
+        self._doc_major = (doc_terms.astype(np.int32), doc_scores.astype(np.float32), doc_ptr)
+        return self._doc_major
+
     def device_arrays(self) -> Dict[str, jnp.ndarray]:
+        doc_terms, doc_scores, doc_ptr = self.doc_major()
         return {
             "doc_ids": jnp.asarray(self.doc_ids),
             "tfs": jnp.asarray(self.tfs),
@@ -174,7 +197,192 @@ class Bm25DeviceIndex:
             "df": jnp.asarray(self.df),
             "doc_lens": jnp.asarray(self.doc_lens),
             "scores": jnp.asarray(self.ensure_scores()),
+            "doc_terms": jnp.asarray(doc_terms),
+            "doc_scores": jnp.asarray(doc_scores),
+            "doc_ptr": jnp.asarray(doc_ptr),
         }
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "term_topm", "pool_k"))
+def bm25_topk_sorted(
+    term_ids: jax.Array,  # [B, E, T] int32, -1 padded
+    doc_ids: jax.Array,  # [P] int32 (contribution-sorted within each term)
+    contribs: jax.Array,  # [P] f32
+    row_ptr: jax.Array,  # [V+1] int32
+    *,
+    n_docs: int,
+    term_topm: int = 64,
+    pool_k: int = 200,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-free BM25 pool selection: (pool scores [B,K], pool ids [B,K]).
+
+    The TPU-fast path (the scatter formulation serializes on TPU — measured
+    ~10ns/element): gather each query-term occurrence's top-``term_topm``
+    postings (they're stored contribution-descending), concatenate a
+    query's E*T windows, SORT by doc id, segment-sum equal-id runs with a
+    cumsum + running-max-scan (all VPU ops), and take the top ``pool_k``
+    run totals. Variants are max-merged by a second sort over (doc,
+    -variant_score) ... here simplified: variants concatenate and the merge
+    uses per-variant sums followed by a cross-variant max on the shared
+    sorted axis.
+
+    Exactness: identical to the reference BM25 for every document that
+    appears in at least one matched term's top-``term_topm`` postings; only
+    near-zero-idf stopword tails are truncated (same contract as the
+    capacity window of `bm25_scores_batched`).
+
+    Padding ids are ``n_docs`` and sort to the end with zero contribution.
+    """
+    B, E, T = term_ids.shape
+    N = n_docs
+    m = term_topm
+    doc_ids_p = jnp.concatenate([doc_ids, jnp.full((m,), N, dtype=jnp.int32)])
+    contribs_p = jnp.concatenate([contribs, jnp.zeros((m,), dtype=jnp.float32)])
+
+    flat_t = term_ids.reshape(-1)
+    valid = flat_t >= 0
+    t_safe = jnp.maximum(flat_t, 0)
+    starts = row_ptr[t_safe]
+    lengths = jnp.minimum(row_ptr[t_safe + 1] - starts, m)
+
+    def window(start):
+        return (
+            jax.lax.dynamic_slice(doc_ids_p, (start,), (m,)),
+            jax.lax.dynamic_slice(contribs_p, (start,), (m,)),
+        )
+
+    docs_w, c_w = jax.vmap(window)(starts)  # [B*E*T, m]
+    j = jnp.arange(m, dtype=jnp.int32)[None, :]
+    in_range = (j < lengths[:, None]) & valid[:, None]
+    docs_w = jnp.where(in_range, docs_w, N)
+    c_w = jnp.where(in_range, c_w, 0.0)
+
+    W = T * m
+    docs_q = docs_w.reshape(B * E, W)
+    c_q = c_w.reshape(B * E, W)
+
+    # sort by doc id; aggregate equal runs
+    order = jnp.argsort(docs_q, axis=1)
+    docs_s = jnp.take_along_axis(docs_q, order, axis=1)
+    c_s = jnp.take_along_axis(c_q, order, axis=1)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B * E, W), 1)
+    boundary = jnp.concatenate(
+        [jnp.ones((B * E, 1), dtype=jnp.bool_), docs_s[:, 1:] != docs_s[:, :-1]],
+        axis=1,
+    )
+    c_cum = jnp.cumsum(c_s, axis=1)
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, idx, -1), axis=1
+    )  # index of each run's first element
+    base = jnp.where(
+        start_idx > 0,
+        jnp.take_along_axis(c_cum, jnp.maximum(start_idx - 1, 0), axis=1),
+        0.0,
+    )
+    run_total = c_cum - base
+    is_run_end = jnp.concatenate(
+        [docs_s[:, 1:] != docs_s[:, :-1], jnp.ones((B * E, 1), dtype=jnp.bool_)],
+        axis=1,
+    )
+    score_at = jnp.where(is_run_end & (docs_s < N), run_total, 0.0)
+
+    # per-variant top pool, then max-merge variants by doc id (another
+    # sort+segment-max over the E*pool_k union)
+    K = min(pool_k, W)
+    v_s, v_pos = jax.lax.top_k(score_at, K)
+    v_docs = jnp.take_along_axis(docs_s, v_pos, axis=1)
+    v_docs = jnp.where(v_s > 0, v_docs, N)
+
+    u_docs = v_docs.reshape(B, E * K)
+    u_s = v_s.reshape(B, E * K)
+    if E > 1:
+        # max-merge variants: sort the E*K union by doc id; a doc appears at
+        # most E times (contiguously), so its run max is the max over the
+        # E-1 preceding lanes with the same id, read at the run's last entry
+        order2 = jnp.argsort(u_docs, axis=1)
+        d2 = jnp.take_along_axis(u_docs, order2, axis=1)
+        s2 = jnp.take_along_axis(u_s, order2, axis=1)
+        idx2 = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        merged = s2
+        for shift in range(1, E):
+            same = jnp.take_along_axis(
+                d2, jnp.maximum(idx2 - shift, 0), axis=1
+            ) == d2
+            prev = jnp.take_along_axis(s2, jnp.maximum(idx2 - shift, 0), axis=1)
+            merged = jnp.maximum(
+                merged, jnp.where(same & (idx2 >= shift), prev, -jnp.inf)
+            )
+        end2 = jnp.concatenate(
+            [d2[:, 1:] != d2[:, :-1], jnp.ones((B, 1), dtype=jnp.bool_)], axis=1
+        )
+        final_s = jnp.where(end2 & (d2 < N), merged, 0.0)
+        top_s, pos = jax.lax.top_k(final_s, min(pool_k, final_s.shape[1]))
+        top_d = jnp.take_along_axis(d2, pos, axis=1)
+    else:
+        top_s, pos = jax.lax.top_k(u_s, min(pool_k, u_s.shape[1]))
+        top_d = jnp.take_along_axis(u_docs, pos, axis=1)
+
+    top_d = jnp.where(top_s > 0, top_d, -1)
+    return top_s, top_d
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "doc_cap"))
+def bm25_rescore_pool(
+    pool_i: jax.Array,  # [B, K] int32 candidate doc rows, -1 padded
+    term_ids: jax.Array,  # [B, E, T] int32 query term occurrences, -1 padded
+    doc_terms: jax.Array,  # [P] int32 doc-major term ids
+    doc_scores: jax.Array,  # [P] f32 doc-major contributions
+    doc_ptr: jax.Array,  # [N+1] int32
+    *,
+    n_docs: int,
+    doc_cap: int = 64,
+) -> jax.Array:
+    """EXACT BM25 scores [B, K] for the candidate pool (max over variants).
+
+    Phase 2 of the scatter-free design: gather each candidate doc's term
+    window from the doc-major CSR and sum the contributions of terms that
+    occur in the query — each query-term OCCURRENCE counts (duplicate terms
+    score twice, reference _score_doc semantics). Work is pure vectorized
+    compares: O(B*K*doc_cap*E*T) on the VPU, no scatter, no [N] buffers.
+
+    Exact for docs with <= doc_cap distinct terms (sentences; cap 64 covers
+    them comfortably — longer docs truncate their LOWEST-contribution tail
+    if doc-major windows are contribution-sorted upstream; here they follow
+    posting order, so choose doc_cap >= max distinct terms for exactness).
+    """
+    B, K = pool_i.shape
+    N = n_docs
+    D = doc_cap
+    doc_terms_p = jnp.concatenate([doc_terms, jnp.full((D,), -2, dtype=jnp.int32)])
+    doc_scores_p = jnp.concatenate([doc_scores, jnp.zeros((D,), dtype=jnp.float32)])
+
+    flat = pool_i.reshape(-1)
+    safe = jnp.where(flat >= 0, flat, N - 1 if N else 0)
+    starts = doc_ptr[safe]
+    lengths = jnp.minimum(doc_ptr[safe + 1] - starts, D)
+
+    def window(start):
+        return (
+            jax.lax.dynamic_slice(doc_terms_p, (start,), (D,)),
+            jax.lax.dynamic_slice(doc_scores_p, (start,), (D,)),
+        )
+
+    wt, wc = jax.vmap(window)(starts)  # [B*K, D]
+    j = jnp.arange(D, dtype=jnp.int32)[None, :]
+    in_range = (j < lengths[:, None]) & (flat >= 0)[:, None]
+    wt = jnp.where(in_range, wt, -2)  # -2 never matches a term id (or -1 pad)
+    wc = jnp.where(in_range, wc, 0.0)
+
+    wt_b = wt.reshape(B, K, D)
+    wc_b = wc.reshape(B, K, D)
+    # occurrences: [B, K, D, E] = count of query occurrences matching the slot
+    match = (
+        wt_b[:, :, :, None, None] == term_ids[:, None, None, :, :]
+    ) & (term_ids >= 0)[:, None, None, :, :]
+    occ = jnp.sum(match, axis=-1).astype(jnp.float32)  # [B, K, D, E]
+    per_variant = jnp.einsum("bkd,bkde->bke", wc_b, occ)
+    return jnp.max(per_variant, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "cap", "merge"))

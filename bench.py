@@ -62,6 +62,10 @@ def build_or_load_index():
 def main() -> None:
     import jax
 
+    from a_modular_rag_framework_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from a_modular_rag_framework_tpu.engine.query_engine import (
         EngineConfig,
         TPUQueryEngine,
@@ -94,9 +98,10 @@ def main() -> None:
     # device-program-only throughput (pre-encoded queries)
     import jax.numpy as jnp
 
-    q_emb, term_ids = engine.encode_queries([[q] for q in questions])
+    q_emb, term_ids = engine.encode_queries([[q] for q in questions],
+                                            n_variants=1)
     seed_arr = np.full((BATCH, engine.config.max_seed_rows), -1, np.int32)
-    key = (BATCH, engine.config.qe_variants, engine.config.max_query_terms,
+    key = (BATCH, 1, engine.config.max_query_terms,
            engine.config.max_seed_rows, min(200, engine._n), TOP_K, WINDOW,
            False, True)
     fn = engine._program(key)

@@ -71,10 +71,14 @@ def hybrid_oracle(corpus_texts, query, variants, seeds, window, pool_k, k,
 
 def test_engine_matches_hybrid_oracle(packed):
     idx, samples = packed
+    # scatter impl: shares the oracle's exact tie ordering (the synthetic
+    # corpus has large score ties at the pool boundary; the sorted impl
+    # resolves them differently — covered by its own test below)
     engine = TPUQueryEngine(
         idx,
         config=EngineConfig(top_k=10, pool_k=50, graph_window=2,
-                            include_entity_graph=False, batch_buckets=(1, 4)),
+                            include_entity_graph=False, batch_buckets=(1, 4),
+                            bm25_impl="scatter"),
     )
     q = samples[0]["question"]
     variants = [q, " ".join(tokenize(q)[:4])]
@@ -111,6 +115,48 @@ def _sf_recall(idx, samples, cfg):
             total += 1
             hit += int(row in got)
     return hit, total
+
+
+def test_sorted_bm25_pipeline_scores_exact(packed):
+    """The production (sorted two-phase) BM25: every returned pool doc's
+    score must equal the exact dense computation; membership may differ from
+    the scatter path only within score ties."""
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.bm25 import (
+        bm25_rescore_pool,
+        bm25_scores_batched,
+        bm25_topk_sorted,
+    )
+
+    idx, samples = packed
+    dev = idx.bm25.device_arrays()
+    n = idx.n_docs
+    engine = TPUQueryEngine(idx, config=EngineConfig(batch_buckets=(4,)))
+    _, term_ids = engine.encode_queries(
+        [[s["question"]] for s in samples[:4]], n_variants=1
+    )
+    tid = jnp.asarray(term_ids)
+    dense = np.asarray(bm25_scores_batched(
+        tid, dev["doc_ids"], dev["scores"], dev["row_ptr"],
+        n_docs=n, cap=4096, merge="max"))
+    ps, pd = bm25_topk_sorted(tid, dev["doc_ids"], dev["scores"],
+                              dev["row_ptr"], n_docs=n, term_topm=1024,
+                              pool_k=50)
+    rs = np.asarray(bm25_rescore_pool(pd, tid, dev["doc_terms"],
+                                      dev["doc_scores"], dev["doc_ptr"],
+                                      n_docs=n, doc_cap=64))
+    ps, pd = np.asarray(ps), np.asarray(pd)
+    for b in range(4):
+        for phase1, exact, d in zip(ps[b], rs[b], pd[b]):
+            if d >= 0:
+                np.testing.assert_allclose(phase1, dense[b, d], rtol=1e-4)
+                np.testing.assert_allclose(exact, dense[b, d], rtol=1e-4)
+        # membership: every pool doc scores >= the (tie-tolerant) cutoff
+        valid = pd[b] >= 0
+        if valid.any():
+            cutoff = np.sort(dense[b][dense[b] > 0])[::-1][: valid.sum()][-1]
+            assert (dense[b, pd[b][valid]] >= cutoff - 1e-4).all()
 
 
 def test_engine_retrieves_supporting_facts(packed):

@@ -1,0 +1,119 @@
+"""Concurrent serving batcher + per-question graph store interop."""
+import concurrent.futures
+import json
+
+import numpy as np
+import pytest
+
+from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
+from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
+from a_modular_rag_framework_tpu.engine.server import QueryServer
+from a_modular_rag_framework_tpu.index.builder import build_packed_index
+from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+from a_modular_rag_framework_tpu.modules.retrieval.graph_store import (
+    build_index,
+    expand_qmatch_neighbors,
+    load_graph_json,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    samples = SyntheticHotpotQALoader({"count": 12, "seed": 9}).load()
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
+    return TPUQueryEngine(idx, config=EngineConfig(top_k=5, pool_k=50,
+                                                   batch_buckets=(8, 32))), samples
+
+
+def test_server_batches_concurrent_queries(engine):
+    eng, samples = engine
+    server = QueryServer(eng, max_batch=16, max_wait_ms=20)
+    with server:
+        futures = [server.submit(s["question"]) for s in samples]
+        results = [f.result(timeout=60) for f in futures]
+    assert all(isinstance(r, list) and r for r in results)
+    assert all(h.id.startswith("sent::") for h in results[0])
+    assert server.stats["queries"] == len(samples)
+    # micro-batching actually batched something
+    assert max(server.stats["batch_sizes"]) > 1
+
+
+def test_server_mixed_params_grouped(engine):
+    eng, samples = engine
+    with QueryServer(eng, max_batch=8, max_wait_ms=20) as server:
+        f1 = server.submit(samples[0]["question"], top_k=3)
+        f2 = server.submit(samples[1]["question"], top_k=5)
+        r1, r2 = f1.result(60), f2.result(60)
+    assert len(r1) <= 3 and len(r2) <= 5
+
+
+def test_server_threaded_clients(engine):
+    eng, samples = engine
+    with QueryServer(eng, max_batch=8, max_wait_ms=10) as server:
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(lambda s: server.query(s["question"]),
+                                 samples[:8]))
+    assert all(outs)
+
+
+# ---------------- graph store ----------------
+
+
+def test_graph_store_roundtrip(tmp_path):
+    from a_modular_rag_framework_tpu.core.dto import GraphBuildIn
+    from a_modular_rag_framework_tpu.modules.graph_construction.flow import (
+        GraphConstructionFlow,
+    )
+    from a_modular_rag_framework_tpu.modules.graph_construction.impl_arrays import (
+        GraphConstructionArrays,
+    )
+
+    impl = GraphConstructionArrays(root_dir=str(tmp_path), write_analysis=False)
+    # production policy (settings.yaml): vote fusion without min-vote pruning
+    flow = GraphConstructionFlow(impl=impl, edge_builder_kwargs={
+        "assembly_policy": {"channels": {"q_overlap": 1.0, "embed_sim": 1.0,
+                                         "entity_link": 0.6,
+                                         "position_prior": 0.2},
+                            "edge_min_vote": 0, "max_edges_per_node": 0}})
+    context = [("Doc A", ["Alice went home.", "Alice met Bob there.",
+                          "The end came later."]),
+               ("Doc B", ["Bob lives in Rome."])]
+    out = flow.build(GraphBuildIn(trace_id="t", question_text="Where does Bob live?",
+                                  context=context, graph_id="g9"))
+
+    g = load_graph_json(str(tmp_path), "g9")
+    nodes_by_id, fwd, bwd, texts, qmatch = build_index(g)
+    assert qmatch, "q_match seeds missing"
+    # node text is recovered (top-level attr)
+    assert any("Rome" in t for t in texts.values())
+    expanded = expand_qmatch_neighbors(
+        "Where does Bob live?", nodes_by_id, fwd, bwd, texts,
+        explicit_qmatch=qmatch, window=1,
+    )
+    assert expanded
+    scores = sorted({round(s, 2) for s, _ in expanded.values()}, reverse=True)
+    assert scores[0] == 1.0  # seeds
+    if len(scores) > 1:
+        assert scores[1] == 0.7  # one-hop decay
+
+
+def test_graph_store_missing_graph():
+    g = load_graph_json("/nonexistent", "nope")
+    assert g == {"nodes": [], "edges": []}
+    nodes_by_id, fwd, bwd, texts, qmatch = build_index(g)
+    assert expand_qmatch_neighbors("q", nodes_by_id, fwd, bwd, texts) == {}
+
+
+def test_graph_store_fallback_token_seeds(tmp_path):
+    # graph without q_match edges -> token-overlap seeding
+    g = {"nodes": [{"id": "D::sent0", "type": "sentence", "text": "zebra stripes"},
+                   {"id": "D::sent1", "type": "sentence", "text": "lion mane"}],
+         "edges": [{"source": "D::sent0", "target": "D::sent1",
+                    "type": "next_in_doc"}]}
+    nodes_by_id, fwd, bwd, texts, qmatch = build_index(g)
+    assert not qmatch
+    out = expand_qmatch_neighbors("tell me about zebra", nodes_by_id, fwd, bwd,
+                                  texts, window=1)
+    assert out["D::sent0"][0] == 1.0
+    assert out["D::sent1"][0] == pytest.approx(0.7)
