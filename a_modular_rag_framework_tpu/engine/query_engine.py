@@ -57,6 +57,7 @@ class EngineConfig:
     bm25_impl: str = "sorted"  # "sorted" (scatter-free, fast) | "scatter"
     bm25_term_topm: int = 128  # sorted path: postings window per term occurrence
     bm25_doc_cap: int = 64  # sorted path: doc-major window for exact re-score
+    fusion_impl: str = "compact"  # "compact" (pool union, no [B,N]) | "dense"
     graph_window: int = 1
     include_entity_graph: bool = True
     alpha_text: float = 0.4
@@ -166,6 +167,15 @@ class TPUQueryEngine:
         emb = self._emb
         bm = self._bm25
 
+        def minmax_rows(v, valid):
+            big = jnp.float32(1e30)
+            lo = jnp.min(jnp.where(valid, v, big), axis=1, keepdims=True)
+            hi = jnp.max(jnp.where(valid, v, -big), axis=1, keepdims=True)
+            span = hi - lo
+            ok = span > 0
+            out = jnp.where(valid, (v - lo) / jnp.where(ok, span, 1.0), 0.0)
+            return jnp.where(ok, out, jnp.zeros_like(out))
+
         def program(q_emb, term_ids, seed_rows):
             # ---- text channel: BM25 max-merged over query variants ----
             if cfg.bm25_impl == "sorted":
@@ -183,18 +193,11 @@ class TPUQueryEngine:
                     pool_i = jnp.pad(pool_i, ((0, 0), (0, pad)),
                                      constant_values=-1)
                 pool_s = bm25_rescore_pool(
-                    pool_i, term_ids, bm["doc_terms"], bm["doc_scores"],
-                    bm["doc_ptr"], n_docs=n, doc_cap=cfg.bm25_doc_cap,
+                    pool_i, term_ids, bm["doc_terms_padded"],
+                    bm["doc_scores_padded"], n_docs=n,
                 )
                 pool_valid = (pool_s > 0) & (pool_i >= 0)
-                rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
-                safe_pool = jnp.where(pool_valid, pool_i, n)
-                # dense [B, N] text scores for fusion (small pool scatter)
-                text_scores = (
-                    jnp.zeros((B, n + 1), dtype=jnp.float32)
-                    .at[rows_b, safe_pool]
-                    .set(jnp.where(pool_valid, pool_s, 0.0))[:, :n]
-                )
+                text_scores = None  # no [B, N] text buffer in this mode
             else:
                 text_scores = bm25_scores_batched(
                     term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
@@ -202,13 +205,8 @@ class TPUQueryEngine:
                 )  # [B, N]
                 pool_s, pool_i = jax.lax.top_k(text_scores, pool_k)
                 pool_valid = pool_s > 0
-                rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
-                safe_pool = jnp.where(pool_valid, pool_i, n)
-            text_present = (
-                jnp.zeros((B, n + 1), dtype=jnp.bool_)
-                .at[rows_b, safe_pool]
-                .set(True)[:, :n]
-            )
+            rows_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, pool_k))
+            safe_pool = jnp.where(pool_valid, pool_i, n)
 
             # ---- dense channel: cosine(q, pool rows) ----
             qn = q_emb / jnp.maximum(
@@ -219,11 +217,7 @@ class TPUQueryEngine:
                 "bd,bkd->bk", qn, pool_emb.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            dense_scores = (
-                jnp.zeros((B, n + 1), dtype=jnp.float32)
-                .at[rows_b, jnp.where(pool_valid, pool_i, n)]
-                .set(jnp.where(pool_valid, dense_pool, 0.0))[:, :n]
-            )
+            dense_pool = jnp.where(pool_valid, dense_pool, 0.0)
 
             # ---- graph channel: frontier expansion with hop decay ----
             if seeds_explicit:
@@ -241,16 +235,19 @@ class TPUQueryEngine:
 
                 graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
             else:
-                S_eff = min(S, n)
-                top_seed_s, top_seed_i = jax.lax.top_k(text_scores, S_eff)
+                S_eff = min(S, pool_k)
+                # seeds = strongest BM25 pool entries
+                top_seed_s, seed_pos = jax.lax.top_k(pool_s, S_eff)
+                top_seed_i = jnp.take_along_axis(pool_i, seed_pos, axis=1)
                 rows_s = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S_eff))
+                seed_ok = (top_seed_s > 0) & (top_seed_i >= 0)
                 if cfg.graph_seed_weighted:
                     # seed strength = bm25 / max(bm25): strongest seed -> 1.0
                     denom = jnp.maximum(top_seed_s[:, :1], 1e-9)
-                    seed_vals = jnp.where(top_seed_s > 0, top_seed_s / denom, 0.0)
+                    seed_vals = jnp.where(seed_ok, top_seed_s / denom, 0.0)
                     seed_scores = (
                         jnp.zeros((B, n + 1), dtype=jnp.float32)
-                        .at[rows_s, jnp.where(top_seed_s > 0, top_seed_i, n)]
+                        .at[rows_s, jnp.where(seed_ok, top_seed_i, n)]
                         .max(seed_vals)[:, :n]
                     )
 
@@ -261,7 +258,7 @@ class TPUQueryEngine:
                 else:
                     seed_mask = (
                         jnp.zeros((B, n + 1), dtype=jnp.bool_)
-                        .at[rows_s, jnp.where(top_seed_s > 0, top_seed_i, n)]
+                        .at[rows_s, jnp.where(seed_ok, top_seed_i, n)]
                         .set(True)[:, :n]
                     )
 
@@ -271,11 +268,40 @@ class TPUQueryEngine:
                         return s
 
                     graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
-            g_pool_s, g_pool_i = jax.lax.top_k(graph_scores, min(pool_k, n))
+
+            P_g = min(pool_k, n)
+            g_pool_s, g_pool_i = jax.lax.top_k(graph_scores, P_g)
             g_valid = g_pool_s > 0
-            rows_g = jnp.broadcast_to(
-                jnp.arange(B)[:, None], (B, min(pool_k, n))
+
+            counts = jnp.stack(
+                [jnp.sum(pool_valid, axis=1), jnp.sum(g_valid, axis=1),
+                 jnp.sum(pool_valid, axis=1)], axis=1,
             )
+
+            if cfg.fusion_impl == "compact":
+                return (*_fuse_compact(pool_s, pool_i, pool_valid, dense_pool,
+                                       graph_scores, g_pool_s, g_pool_i,
+                                       g_valid), counts)
+
+            # ---- dense fusion (the [B, N] oracle path) ----
+            text_dense = (
+                jnp.zeros((B, n + 1), dtype=jnp.float32)
+                .at[rows_b, safe_pool]
+                .set(jnp.where(pool_valid, pool_s, 0.0))[:, :n]
+            ) if text_scores is None else jnp.where(
+                (jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                 .at[rows_b, safe_pool].set(True)[:, :n]), text_scores, 0.0)
+            text_present = (
+                jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                .at[rows_b, safe_pool]
+                .set(True)[:, :n]
+            )
+            dense_scores = (
+                jnp.zeros((B, n + 1), dtype=jnp.float32)
+                .at[rows_b, safe_pool]
+                .set(dense_pool)[:, :n]
+            )
+            rows_g = jnp.broadcast_to(jnp.arange(B)[:, None], (B, P_g))
             graph_present = (
                 jnp.zeros((B, n + 1), dtype=jnp.bool_)
                 .at[rows_g, jnp.where(g_valid, g_pool_i, n)]
@@ -283,11 +309,8 @@ class TPUQueryEngine:
             )
             graph_channel = jnp.where(graph_present, graph_scores, 0.0)
 
-            # ---- fusion ----
-            ch_scores = jnp.stack(
-                [jnp.where(text_present, text_scores, 0.0), graph_channel,
-                 dense_scores], axis=1,
-            )  # [B, 3, N]
+            ch_scores = jnp.stack([text_dense, graph_channel, dense_scores],
+                                  axis=1)  # [B, 3, N]
             ch_present = jnp.stack(
                 [text_present, graph_present, text_present], axis=1
             )
@@ -296,16 +319,91 @@ class TPUQueryEngine:
                 return fuse_channels(cs, cp, alphas, k=k)
 
             top_s, top_i, normed = jax.vmap(one_fuse)(ch_scores, ch_present)
-            # channel norms at the selected ids, for hit meta
             safe_i = jnp.where(top_i >= 0, top_i, 0)
             norms_at = jnp.take_along_axis(
                 normed, safe_i[:, None, :], axis=2
             )  # [B, 3, k]
-            counts = jnp.stack(
-                [jnp.sum(text_present, axis=1), jnp.sum(graph_present, axis=1),
-                 jnp.sum(pool_valid, axis=1)], axis=1,
-            )
             return top_s, top_i, norms_at, counts
+
+        def _fuse_compact(pool_s, pool_i, pool_valid, dense_pool,
+                          graph_scores, g_pool_s, g_pool_i, g_valid):
+            """Pool-compact fusion: operates on the 2*pool_k candidate union
+            — no [B, N] channel buffers, no scatters (sort-dedup instead).
+
+            Semantics identical to the dense path: per-channel min-max over
+            each channel's own pool; ids only in the graph pool contribute
+            a_graph * norm_graph alone; ids in the text pool gather their
+            graph value when (and only when) they are graph-pool members.
+            """
+            big = jnp.float32(1e30)
+            # channel norms over their own pools
+            nt = minmax_rows(pool_s, pool_valid)
+            nd = minmax_rows(dense_pool, pool_valid)
+            ng_pool = minmax_rows(g_pool_s, g_valid)
+            # graph values at text-pool ids (gather from the expansion wave)
+            safe_ids = jnp.clip(pool_i, 0, max(n - 1, 0))
+            t_graph_raw = jnp.take_along_axis(graph_scores, safe_ids, axis=1)
+            g_lo = jnp.min(jnp.where(g_valid, g_pool_s, big), axis=1,
+                           keepdims=True)
+            g_hi = jnp.max(jnp.where(g_valid, g_pool_s, -big), axis=1,
+                           keepdims=True)
+            g_span_ok = (g_hi - g_lo) > 0
+            in_gpool = pool_valid & (t_graph_raw > 0) & (t_graph_raw >= g_lo)
+            ng_text = jnp.where(
+                in_gpool & g_span_ok,
+                (t_graph_raw - g_lo) / jnp.where(g_span_ok, g_hi - g_lo, 1.0),
+                0.0,
+            )
+
+            fused_text = (alphas[0] * nt + alphas[1] * ng_text
+                          + alphas[2] * nd)
+            fused_g = alphas[1] * ng_pool
+
+            # union with dedup: sort by (id, text-first); drop non-first
+            # entries of equal ids (a dup is always text+graph for one id)
+            ids_cat = jnp.concatenate([pool_i, g_pool_i], axis=1)
+            flag = jnp.concatenate(
+                [jnp.zeros_like(pool_i), jnp.ones_like(g_pool_i)], axis=1
+            )
+            valid_cat = jnp.concatenate([pool_valid, g_valid], axis=1)
+            fused_cat = jnp.concatenate([fused_text, fused_g], axis=1)
+            nt_cat = jnp.concatenate([nt, jnp.zeros_like(ng_pool)], axis=1)
+            ng_cat = jnp.concatenate([ng_text, ng_pool], axis=1)
+            nd_cat = jnp.concatenate([nd, jnp.zeros_like(ng_pool)], axis=1)
+
+            sort_ids = jnp.where(valid_cat, ids_cat, n + 1)
+            # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit
+            key = sort_ids * 2 + flag
+            order = jnp.argsort(key, axis=1)
+
+            def pick(x):
+                return jnp.take_along_axis(x, order, axis=1)
+
+            ids_s, flag_s = pick(sort_ids), pick(flag)
+            fused_s = pick(fused_cat)
+            nt_s, ng_s, nd_s = pick(nt_cat), pick(ng_cat), pick(nd_cat)
+            dup = jnp.concatenate(
+                [jnp.zeros((B, 1), dtype=jnp.bool_),
+                 ids_s[:, 1:] == ids_s[:, :-1]], axis=1,
+            )
+            alive = (ids_s <= n - 1 if n else ids_s < 0) & (~dup)
+            fused_m = jnp.where(alive, fused_s, -1e30)
+
+            top_s, pos = jax.lax.top_k(fused_m, min(k, fused_m.shape[1]))
+            ok = top_s > -1e29
+            top_i = jnp.where(ok, jnp.take_along_axis(ids_s, pos, axis=1), -1)
+            top_s = jnp.where(ok, top_s, 0.0)
+            norms_at = jnp.stack(
+                [jnp.take_along_axis(nt_s, pos, axis=1),
+                 jnp.take_along_axis(ng_s, pos, axis=1),
+                 jnp.take_along_axis(nd_s, pos, axis=1)], axis=1,
+            )  # [B, 3, k]
+            pad_k = k - top_s.shape[1]
+            if pad_k > 0:
+                top_s = jnp.pad(top_s, ((0, 0), (0, pad_k)))
+                top_i = jnp.pad(top_i, ((0, 0), (0, pad_k)), constant_values=-1)
+                norms_at = jnp.pad(norms_at, ((0, 0), (0, 0), (0, pad_k)))
+            return top_s, top_i.astype(jnp.int32), norms_at
 
         fn = jax.jit(program)
         self._jit_cache[key] = fn
@@ -401,6 +499,30 @@ class TPUQueryEngine:
             channel_norms=norms_at,
             diagnostics=diagnostics,
         )
+
+    # ------------- ops / recovery -------------
+
+    def profile(self, trace_dir: str):
+        """Context manager: capture a jax.profiler trace of engine activity
+        (the device-side complement of the JSONL span telemetry)."""
+        return jax.profiler.trace(trace_dir)
+
+    def reload(self) -> None:
+        """Recover from device loss: re-upload the packed index to HBM and
+        drop compiled programs (SURVEY.md §5 failure-recovery obligation:
+        device failures are handled by re-init + index reload)."""
+        index = self.index
+        emb = index.device_embeddings()
+        if emb.size:
+            norms = jnp.sqrt(jnp.sum(emb.astype(jnp.float32) ** 2, axis=1,
+                                     keepdims=True))
+            emb = (emb.astype(jnp.float32) / jnp.maximum(norms, 1e-9)).astype(emb.dtype)
+        self._emb = emb
+        self._bm25 = index.device_bm25()
+        self._nbrs = index.device_graph(
+            include_entity=self.config.include_entity_graph
+        )
+        self._jit_cache.clear()
 
     # ------------- host hydration -------------
 

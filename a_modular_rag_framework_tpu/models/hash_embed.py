@@ -101,14 +101,15 @@ class HashEmbedEncoder:
     @staticmethod
     @partial(__import__("jax").jit, static_argnums=(2,))
     def _encode(buckets, signs, dim: int):
+        import jax
         import jax.numpy as jnp
 
-        B, L = buckets.shape
-        onehot_free = jnp.zeros((B, dim), dtype=jnp.float32)
-        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
-        acc = onehot_free.at[rows.reshape(-1), buckets.reshape(-1)].add(
-            signs.reshape(-1)
-        )
+        # one-hot einsum instead of scatter-add: scatters serialize on TPU
+        # (and compile pathologically under remote-compile); this contraction
+        # rides the MXU. dim is small, so the [B, L, dim] one-hot is cheap.
+        oh = jax.nn.one_hot(buckets, dim, dtype=jnp.float32)
+        acc = jnp.einsum("bld,bl->bd", oh, signs,
+                         preferred_element_type=jnp.float32)
         norms = jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
         return acc / jnp.maximum(norms, 1e-9)
 

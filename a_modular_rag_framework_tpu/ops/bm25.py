@@ -188,8 +188,34 @@ class Bm25DeviceIndex:
         self._doc_major = (doc_terms.astype(np.int32), doc_scores.astype(np.float32), doc_ptr)
         return self._doc_major
 
-    def device_arrays(self) -> Dict[str, jnp.ndarray]:
+    def doc_major_padded(self, doc_cap: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        """Fixed-stride doc-major view: (terms [N, D] int32 -2-padded,
+        scores [N, D] f32). Row gathers on this layout are contiguous —
+        ~40x faster than per-doc dynamic slices on TPU. Docs with more than
+        ``doc_cap`` distinct terms keep their HIGHEST-contribution terms."""
+        key = ("_doc_major_padded", doc_cap)
+        cached = getattr(self, "_dmp_cache", None)
+        if cached and cached[0] == doc_cap:
+            return cached[1], cached[2]
         doc_terms, doc_scores, doc_ptr = self.doc_major()
+        N = self.n_docs
+        terms = np.full((N, doc_cap), -2, dtype=np.int32)
+        scores = np.zeros((N, doc_cap), dtype=np.float32)
+        for d in range(N):
+            s, e = int(doc_ptr[d]), int(doc_ptr[d + 1])
+            length = e - s
+            if length <= doc_cap:
+                terms[d, :length] = doc_terms[s:e]
+                scores[d, :length] = doc_scores[s:e]
+            else:
+                order = np.argsort(-doc_scores[s:e], kind="stable")[:doc_cap]
+                terms[d] = doc_terms[s:e][order]
+                scores[d] = doc_scores[s:e][order]
+        self._dmp_cache = (doc_cap, terms, scores)
+        return terms, scores
+
+    def device_arrays(self, doc_cap: int = 64) -> Dict[str, jnp.ndarray]:
+        dmp_terms, dmp_scores = self.doc_major_padded(doc_cap)
         return {
             "doc_ids": jnp.asarray(self.doc_ids),
             "tfs": jnp.asarray(self.tfs),
@@ -197,9 +223,8 @@ class Bm25DeviceIndex:
             "df": jnp.asarray(self.df),
             "doc_lens": jnp.asarray(self.doc_lens),
             "scores": jnp.asarray(self.ensure_scores()),
-            "doc_terms": jnp.asarray(doc_terms),
-            "doc_scores": jnp.asarray(doc_scores),
-            "doc_ptr": jnp.asarray(doc_ptr),
+            "doc_terms_padded": jnp.asarray(dmp_terms),
+            "doc_scores_padded": jnp.asarray(dmp_scores),
         }
 
 
@@ -245,14 +270,12 @@ def bm25_topk_sorted(
     starts = row_ptr[t_safe]
     lengths = jnp.minimum(row_ptr[t_safe + 1] - starts, m)
 
-    def window(start):
-        return (
-            jax.lax.dynamic_slice(doc_ids_p, (start,), (m,)),
-            jax.lax.dynamic_slice(contribs_p, (start,), (m,)),
-        )
-
-    docs_w, c_w = jax.vmap(window)(starts)  # [B*E*T, m]
+    # flat gather at starts+iota: vmap(dynamic_slice) lowers to per-window
+    # slices that run ~2x slower than one big gather on TPU
     j = jnp.arange(m, dtype=jnp.int32)[None, :]
+    win_idx = starts[:, None] + j
+    docs_w = jnp.take(doc_ids_p, win_idx)  # [B*E*T, m]
+    c_w = jnp.take(contribs_p, win_idx)
     in_range = (j < lengths[:, None]) & valid[:, None]
     docs_w = jnp.where(in_range, docs_w, N)
     c_w = jnp.where(in_range, c_w, 0.0)
@@ -327,62 +350,59 @@ def bm25_topk_sorted(
     return top_s, top_d
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs", "doc_cap"))
 def bm25_rescore_pool(
     pool_i: jax.Array,  # [B, K] int32 candidate doc rows, -1 padded
     term_ids: jax.Array,  # [B, E, T] int32 query term occurrences, -1 padded
-    doc_terms: jax.Array,  # [P] int32 doc-major term ids
-    doc_scores: jax.Array,  # [P] f32 doc-major contributions
-    doc_ptr: jax.Array,  # [N+1] int32
+    doc_terms_padded: jax.Array,  # [N, D] int32 doc-major term ids, -2 padded
+    doc_scores_padded: jax.Array,  # [N, D] f32 doc-major contributions
     *,
     n_docs: int,
-    doc_cap: int = 64,
 ) -> jax.Array:
     """EXACT BM25 scores [B, K] for the candidate pool (max over variants).
 
-    Phase 2 of the scatter-free design: gather each candidate doc's term
-    window from the doc-major CSR and sum the contributions of terms that
-    occur in the query — each query-term OCCURRENCE counts (duplicate terms
-    score twice, reference _score_doc semantics). Work is pure vectorized
-    compares: O(B*K*doc_cap*E*T) on the VPU, no scatter, no [N] buffers.
+    Phase 2 of the scatter-free design: gather each candidate doc's
+    fixed-stride term row (contiguous row gather — per-doc dynamic slices
+    measured 40x slower) and sum the contributions of terms that occur in
+    the query — each query-term OCCURRENCE counts (duplicate terms score
+    twice, reference _score_doc semantics). Pure vectorized compares on the
+    VPU, no scatter, no [N]-sized buffers.
 
-    Exact for docs with <= doc_cap distinct terms (sentences; cap 64 covers
-    them comfortably — longer docs truncate their LOWEST-contribution tail
-    if doc-major windows are contribution-sorted upstream; here they follow
-    posting order, so choose doc_cap >= max distinct terms for exactness).
+    Exact for docs whose distinct-term count fits the padded stride; longer
+    docs keep their highest-contribution terms (see doc_major_padded).
     """
     B, K = pool_i.shape
     N = n_docs
-    D = doc_cap
-    doc_terms_p = jnp.concatenate([doc_terms, jnp.full((D,), -2, dtype=jnp.int32)])
-    doc_scores_p = jnp.concatenate([doc_scores, jnp.zeros((D,), dtype=jnp.float32)])
 
     flat = pool_i.reshape(-1)
-    safe = jnp.where(flat >= 0, flat, N - 1 if N else 0)
-    starts = doc_ptr[safe]
-    lengths = jnp.minimum(doc_ptr[safe + 1] - starts, D)
+    safe = jnp.where(flat >= 0, flat, 0)
+    wt = jnp.take(doc_terms_padded, safe, axis=0)  # [B*K, D]
+    wc = jnp.take(doc_scores_padded, safe, axis=0)
+    wt = jnp.where((flat >= 0)[:, None], wt, -2)
+    wc = jnp.where((flat >= 0)[:, None], wc, 0.0)
 
-    def window(start):
-        return (
-            jax.lax.dynamic_slice(doc_terms_p, (start,), (D,)),
-            jax.lax.dynamic_slice(doc_scores_p, (start,), (D,)),
-        )
-
-    wt, wc = jax.vmap(window)(starts)  # [B*K, D]
-    j = jnp.arange(D, dtype=jnp.int32)[None, :]
-    in_range = (j < lengths[:, None]) & (flat >= 0)[:, None]
-    wt = jnp.where(in_range, wt, -2)  # -2 never matches a term id (or -1 pad)
-    wc = jnp.where(in_range, wc, 0.0)
-
+    D = wt.shape[1]
     wt_b = wt.reshape(B, K, D)
     wc_b = wc.reshape(B, K, D)
-    # occurrences: [B, K, D, E] = count of query occurrences matching the slot
-    match = (
-        wt_b[:, :, :, None, None] == term_ids[:, None, None, :, :]
-    ) & (term_ids >= 0)[:, None, None, :, :]
-    occ = jnp.sum(match, axis=-1).astype(jnp.float32)  # [B, K, D, E]
-    per_variant = jnp.einsum("bkd,bkde->bke", wc_b, occ)
-    return jnp.max(per_variant, axis=-1)
+    T = term_ids.shape[2]
+
+    # loop over the T query-term slots with a [B, E, K] accumulator: each
+    # step is a small [B, E, K, D] compare + masked reduce, which XLA fuses;
+    # the single-shot [B,K,D,E,T] broadcast materialized >100MB and dominated
+    # the engine, and searchsorted lowers to sequential loops on TPU.
+    def body(t, acc):
+        tid_t = jax.lax.dynamic_index_in_dim(term_ids, t, axis=2,
+                                             keepdims=False)  # [B, E]
+        m = (wt_b[:, None, :, :] == tid_t[:, :, None, None]) & (
+            tid_t >= 0
+        )[:, :, None, None]
+        contrib = jnp.sum(jnp.where(m, wc_b[:, None, :, :], 0.0), axis=-1)
+        return acc + contrib
+
+    E = term_ids.shape[1]
+    per_variant = jax.lax.fori_loop(
+        0, T, body, jnp.zeros((B, E, K), dtype=jnp.float32)
+    )  # [B, E, K]
+    return jnp.max(per_variant, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "cap", "merge"))

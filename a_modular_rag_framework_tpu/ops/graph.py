@@ -62,13 +62,17 @@ def expand_frontier(
 
     dist = jnp.where(seed_mask, 0, UNREACHED).astype(jnp.int32)
 
+    # The neighbor table is symmetric (both directions inserted), so "any of
+    # my neighbors is in the frontier" == "I am a neighbor of the frontier":
+    # propagation is a GATHER over each node's own row — no scatter (TPU
+    # scatters serialize; gathers don't).
+    safe_nbrs = jnp.where(neighbors >= 0, neighbors, 0)
+    has_nbr = neighbors >= 0
+
     def dense_hop(h, dist):
         frontier = dist == h - 1
-        # neighbors of frontier rows, scattered into a reach mask
-        rows = jnp.where(frontier[:, None], neighbors, -1)
-        flat = rows.reshape(-1)
-        safe = jnp.where(flat >= 0, flat, N)  # dump slot
-        reach = jnp.zeros((N + 1,), dtype=jnp.bool_).at[safe].set(True)[:N]
+        nbr_in_frontier = jnp.take(frontier, safe_nbrs) & has_nbr
+        reach = jnp.any(nbr_in_frontier, axis=1)
         newly = reach & (dist == UNREACHED)
         return jnp.where(newly, h, dist)
 
@@ -112,25 +116,22 @@ def expand_frontier_weighted(
     seed outranks one reached from a weak seed at the same hop distance.
     Uniform seed scores reduce it exactly to `expand_frontier`'s decay(d).
 
-    Each hop is one scatter-max over the padded adjacency (max-plus SpMM);
-    the running max over hops is the result. Revisits are allowed — a strong
-    seed two hops away may legitimately beat a weak seed underfoot.
+    Each hop is one GATHER-max over the padded adjacency (the table is
+    symmetric, so pulling from my neighbors equals pushing to them — and
+    gathers don't serialize on TPU the way scatters do); the running max
+    over hops is the result. Revisits are allowed — a strong seed two hops
+    away may legitimately beat a weak seed underfoot.
     """
     N, deg = neighbors.shape
     decay = jnp.asarray(hop_decay_table(max(window, 0)))
+    safe_nbrs = jnp.where(neighbors >= 0, neighbors, 0)
+    has_nbr = neighbors >= 0
 
     wave = jnp.maximum(seed_scores, 0.0)
     best = wave * decay[0]
     for h in range(1, max(window, 0) + 1):
-        contrib = jnp.broadcast_to(wave[:, None], (N, deg))
-        flat_dst = neighbors.reshape(-1)
-        safe_dst = jnp.where(flat_dst >= 0, flat_dst, N)
-        new_wave = (
-            jnp.zeros((N + 1,), dtype=jnp.float32)
-            .at[safe_dst]
-            .max(contrib.reshape(-1))[:N]
-        )
-        wave = new_wave
+        gathered = jnp.where(has_nbr, jnp.take(wave, safe_nbrs), 0.0)
+        wave = jnp.max(gathered, axis=1) if deg else jnp.zeros_like(wave)
         best = jnp.maximum(best, wave * decay[h])
     return best
 

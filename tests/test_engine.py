@@ -143,9 +143,8 @@ def test_sorted_bm25_pipeline_scores_exact(packed):
     ps, pd = bm25_topk_sorted(tid, dev["doc_ids"], dev["scores"],
                               dev["row_ptr"], n_docs=n, term_topm=1024,
                               pool_k=50)
-    rs = np.asarray(bm25_rescore_pool(pd, tid, dev["doc_terms"],
-                                      dev["doc_scores"], dev["doc_ptr"],
-                                      n_docs=n, doc_cap=64))
+    rs = np.asarray(bm25_rescore_pool(pd, tid, dev["doc_terms_padded"],
+                                      dev["doc_scores_padded"], n_docs=n))
     ps, pd = np.asarray(ps), np.asarray(pd)
     for b in range(4):
         for phase1, exact, d in zip(ps[b], rs[b], pd[b]):
