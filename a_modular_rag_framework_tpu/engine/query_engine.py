@@ -110,6 +110,14 @@ class TPUQueryEngine:
         self._nbrs = index.device_graph(include_entity=self.config.include_entity_graph)
         self._n = index.n_docs
         self._jit_cache: Dict[Tuple, Any] = {}
+        try:
+            from ..native import binding as _nb
+
+            self._native_vocab = _nb.NativeVocab(index.bm25.vocab)
+            if not self._native_vocab.available:
+                self._native_vocab = None
+        except Exception:
+            self._native_vocab = None
 
     # ------------- host-side encoding -------------
 
@@ -129,16 +137,33 @@ class TPUQueryEngine:
         retrieval_backend.py:227), BM25 max-merges over all variants.
         """
         cfg = self.config
-        B, E, T = len(variants), n_variants or cfg.qe_variants, cfg.max_query_terms
         originals = [v[0] if v else "" for v in variants]
         q_emb = np.asarray(self.encoder.encode_texts(list(originals)), dtype=np.float32)
+        return q_emb, self.encode_term_ids(variants, n_variants=n_variants)
+
+    def encode_term_ids(
+        self, variants: Sequence[Sequence[str]], n_variants: Optional[int] = None
+    ) -> np.ndarray:
+        """[B, E, T] int32 BM25 term ids only (no query embedding)."""
+        cfg = self.config
+        B, E, T = len(variants), n_variants or cfg.qe_variants, cfg.max_query_terms
+
+        if self._native_vocab is not None:
+            # flat native lookup over all (query, variant) texts
+            flat_texts = []
+            for vs in variants:
+                vs = list(vs)[:E]
+                flat_texts.extend(vs + [""] * (E - len(vs)))
+            ids = self._native_vocab.lookup_batch(flat_texts, T)
+            return ids.reshape(B, E, T)
+
         term_ids = np.full((B, E, T), -1, dtype=np.int32)
         vocab = self.index.bm25.vocab
         for b, vs in enumerate(variants):
             for e, q in enumerate(list(vs)[:E]):
                 tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
                 term_ids[b, e, : len(tids)] = tids
-        return q_emb, term_ids
+        return term_ids
 
     def qmatch_seed_rows(self, query: str, candidate_rows: Sequence[int]) -> List[int]:
         """Host q_match: candidate rows sharing >=1 token with the query
@@ -156,7 +181,8 @@ class TPUQueryEngine:
     def _program(self, key: Tuple) -> Any:
         if key in self._jit_cache:
             return self._jit_cache[key]
-        (B, E, T, S, pool_k, k, window, seeds_explicit, _weighted) = key
+        (B, E, T, S, pool_k, k, window, seeds_explicit, _weighted,
+         fuse_embed) = key
         n = self._n
         cfg = self.config
         cap = min(cfg.bm25_posting_cap, max(int(self._bm25["doc_ids"].shape[0]), 1))
@@ -176,7 +202,21 @@ class TPUQueryEngine:
             out = jnp.where(valid, (v - lo) / jnp.where(ok, span, 1.0), 0.0)
             return jnp.where(ok, out, jnp.zeros_like(out))
 
-        def program(q_emb, term_ids, seed_rows):
+        def _pack_outputs(top_s, top_i, norms_at, counts):
+            # two output arrays instead of four: each device->host transfer
+            # is a tunnel round-trip (~25ms) under the remote TPU link
+            f32_pack = jnp.concatenate(
+                [top_s, norms_at.reshape(B, -1)], axis=1)
+            i32_pack = jnp.concatenate(
+                [top_i.astype(jnp.int32), counts.astype(jnp.int32)], axis=1)
+            return f32_pack, i32_pack
+
+        def program(*args):
+            if fuse_embed:
+                feat_a, feat_b, term_ids, seed_rows = args
+                q_emb = self.encoder.device_embed(feat_a, feat_b)
+            else:
+                q_emb, term_ids, seed_rows = args
             # ---- text channel: BM25 max-merged over query variants ----
             if cfg.bm25_impl == "sorted":
                 # two-phase scatter-free BM25: sort-aggregate candidate pool
@@ -279,9 +319,10 @@ class TPUQueryEngine:
             )
 
             if cfg.fusion_impl == "compact":
-                return (*_fuse_compact(pool_s, pool_i, pool_valid, dense_pool,
-                                       graph_scores, g_pool_s, g_pool_i,
-                                       g_valid), counts)
+                top_s, top_i, norms_at = _fuse_compact(
+                    pool_s, pool_i, pool_valid, dense_pool, graph_scores,
+                    g_pool_s, g_pool_i, g_valid)
+                return _pack_outputs(top_s, top_i, norms_at, counts)
 
             # ---- dense fusion (the [B, N] oracle path) ----
             text_dense = (
@@ -323,7 +364,7 @@ class TPUQueryEngine:
             norms_at = jnp.take_along_axis(
                 normed, safe_i[:, None, :], axis=2
             )  # [B, 3, k]
-            return top_s, top_i, norms_at, counts
+            return _pack_outputs(top_s, top_i, norms_at, counts)
 
         def _fuse_compact(pool_s, pool_i, pool_valid, dense_pool,
                           graph_scores, g_pool_s, g_pool_i, g_valid):
@@ -451,7 +492,28 @@ class TPUQueryEngine:
         while E < e_needed:
             E *= 2
         E = min(E, cfg.qe_variants)
-        q_emb, term_ids = self.encode_queries(variants, n_variants=E)
+        # query embedding is fused into the device program when the encoder
+        # exposes host_featurize/device_embed — one dispatch round-trip
+        # instead of two (the separate embed call measured ~31ms of pure
+        # dispatch+sync latency through the tunnel)
+        fuse_embed = hasattr(self.encoder, "host_featurize") and hasattr(
+            self.encoder, "device_embed"
+        )
+        if fuse_embed:
+            originals = [v[0] if v else "" for v in variants]
+            feats = self.encoder.host_featurize(originals)
+            term_ids = self.encode_term_ids(variants, n_variants=E)
+        else:
+            q_emb, term_ids = self.encode_queries(variants, n_variants=E)
+        # dynamic term bucket: phase-1 sort width is T * term_topm, and
+        # typical queries fill ~10 of the 32 slots
+        used_t = int((term_ids >= 0).any(axis=(0, 1)).nonzero()[0].max() + 1) \
+            if (term_ids >= 0).any() else 1
+        T_eff = 8
+        while T_eff < used_t:
+            T_eff *= 2
+        T_eff = min(T_eff, cfg.max_query_terms)
+        term_ids = term_ids[:, :, :T_eff]
 
         seeds_explicit = seed_rows is not None
         S = cfg.max_seed_rows
@@ -461,15 +523,26 @@ class TPUQueryEngine:
                 rows = list(seed_rows[i])[:S]
                 seed_arr[i, : len(rows)] = rows
 
-        key = (B, E, cfg.max_query_terms, S, pool_k, k, window,
-               seeds_explicit, cfg.graph_seed_weighted)
+        key = (B, E, T_eff, S, pool_k, k, window,
+               seeds_explicit, cfg.graph_seed_weighted, fuse_embed)
         fn = self._program(key)
 
         t0 = time.time()
-        top_s, top_i, norms_at, counts = fn(
-            jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr)
-        )
-        jax.block_until_ready(top_s)
+        if fuse_embed:
+            f32_pack, i32_pack = fn(
+                jnp.asarray(feats[0]), jnp.asarray(feats[1]),
+                jnp.asarray(term_ids), jnp.asarray(seed_arr)
+            )
+        else:
+            f32_pack, i32_pack = fn(
+                jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr)
+            )
+        f32_pack = np.asarray(f32_pack)
+        i32_pack = np.asarray(i32_pack)
+        top_s = f32_pack[:, :k]
+        norms_all = f32_pack[:, k:].reshape(B, 3, k)
+        top_i = i32_pack[:, :k]
+        counts = i32_pack[:, k:]
         dt_ms = (time.time() - t0) * 1000.0
         if self.sink and trace_id:
             record_device_timing(
@@ -478,10 +551,10 @@ class TPUQueryEngine:
                 backend=jax.default_backend(),
             )
 
-        top_s = np.asarray(top_s)[:B_real]
-        top_i = np.asarray(top_i)[:B_real]
-        norms_at = np.moveaxis(np.asarray(norms_at)[:B_real], 1, 0)  # [3, B, k]
-        counts = np.asarray(counts)[:B_real]
+        top_s = top_s[:B_real]
+        top_i = top_i[:B_real]
+        norms_at = np.moveaxis(norms_all[:B_real], 1, 0)  # [3, B, k]
+        counts = counts[:B_real]
 
         diagnostics = {
             "bm25_candidates": int(counts[:, 0].sum()),

@@ -252,6 +252,13 @@ class TextEncoder:
         return np.asarray(self._apply(self.params, jnp.asarray(ids),
                                       jnp.asarray(mask)))
 
+    # in-program embedding (fused into the engine's device program)
+    def host_featurize(self, texts: List[str]):
+        return encode_tokens(list(texts), self.cfg)
+
+    def device_embed(self, ids, mask):
+        return apply_encoder(self.params, ids, mask, self.cfg)
+
     def save(self, path: str) -> None:
         flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
         np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)

@@ -116,6 +116,23 @@ class HashEmbedEncoder:
     def encode_token_batch(self, buckets: np.ndarray, signs: np.ndarray) -> np.ndarray:
         return np.asarray(self._encode(buckets, signs, self.dim))
 
+    # ---- in-program embedding (engine fuses this into its device program
+    # so query encoding doesn't cost a second dispatch round-trip) ----
+
+    def host_featurize(self, texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        return self.featurize(texts)
+
+    def device_embed(self, buckets, signs):
+        """Traceable embedding for use inside a larger jitted program."""
+        import jax
+        import jax.numpy as jnp
+
+        oh = jax.nn.one_hot(buckets, self.dim, dtype=jnp.float32)
+        acc = jnp.einsum("bld,bl->bd", oh, signs,
+                         preferred_element_type=jnp.float32)
+        norms = jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
+        return acc / jnp.maximum(norms, 1e-9)
+
     def encode_texts(self, texts: List[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)

@@ -82,6 +82,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             fn.restype = ctypes.c_int64
         lib.bm25_export.argtypes = [ctypes.c_void_p, i32p, f32p, f32p, i32p,
                                     f32p, f32p, ctypes.c_char_p]
+        lib.vocab_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.vocab_create.restype = ctypes.c_void_p
+        lib.vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.vocab_lookup_batch.argtypes = [ctypes.c_void_p, c_char_pp,
+                                           ctypes.c_int, ctypes.c_int, i32p]
         _LIB = lib
         return _LIB
 
@@ -125,6 +130,44 @@ def token_counts_native(texts: List[str]) -> Optional[np.ndarray]:
     arr, keep = _text_array(texts)
     lib.token_counts(arr, n, counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return counts
+
+
+class NativeVocab:
+    """Native hash-map vocab for batched query term-id lookup."""
+
+    def __init__(self, vocab: Dict[str, int]):
+        self._lib = load_native()
+        self._handle = None
+        if self._lib is None:
+            return
+        # term order must follow ids: blob line k = term with id k
+        terms = sorted(vocab, key=vocab.__getitem__)
+        blob = ("\n".join(terms) + "\n").encode("utf-8") if terms else b""
+        self._blob = blob  # keep alive
+        self._handle = self._lib.vocab_create(blob, len(blob))
+
+    @property
+    def available(self) -> bool:
+        return self._handle is not None
+
+    def lookup_batch(self, texts: List[str], max_terms: int) -> Optional[np.ndarray]:
+        if self._handle is None:
+            return None
+        n = len(texts)
+        out = np.empty((n, max_terms), dtype=np.int32)
+        arr, keep = _text_array(texts)
+        self._lib.vocab_lookup_batch(
+            self._handle, arr, n, max_terms,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None and self._lib is not None:
+            try:
+                self._lib.vocab_destroy(self._handle)
+            except Exception:
+                pass
 
 
 def bm25_build_native(

@@ -243,4 +243,46 @@ void bm25_export(void* hptr, int32_t* doc_ids, float* tfs, float* scores,
   std::memcpy(vocab_blob, h->vocab_blob.data(), h->vocab_blob.size());
 }
 
+// ---- vocabulary lookup (query encoding hot path) ----
+
+struct VocabHandle {
+  std::unordered_map<std::string, int32_t> map;
+};
+
+void* vocab_create(const char* blob, int64_t size) {
+  auto* h = new VocabHandle();
+  int32_t id = 0;
+  const char* p = blob;
+  const char* end = blob + size;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!nl) nl = end;
+    h->map.emplace(std::string(p, nl - p), id++);
+    p = nl + 1;
+  }
+  return h;
+}
+
+void vocab_destroy(void* h) { delete static_cast<VocabHandle*>(h); }
+
+// Tokenize each text and emit its term ids (occurrence order, -1 padded to
+// max_terms; unknown terms skipped — query-encoding semantics).
+void vocab_lookup_batch(void* hptr, const char* const* texts, int n,
+                        int max_terms, int32_t* out_ids) {
+  auto* h = static_cast<VocabHandle*>(hptr);
+  std::vector<std::string> toks;
+  for (int i = 0; i < n; ++i) {
+    toks.clear();
+    tokenize(texts[i], toks);
+    int32_t* row = out_ids + static_cast<int64_t>(i) * max_terms;
+    int filled = 0;
+    for (auto& t : toks) {
+      if (filled >= max_terms) break;
+      auto it = h->map.find(t);
+      if (it != h->map.end()) row[filled++] = it->second;
+    }
+    for (int j = filled; j < max_terms; ++j) row[j] = -1;
+  }
+}
+
 }  // extern "C"

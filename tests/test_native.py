@@ -80,3 +80,18 @@ def test_default_build_uses_native_and_matches_python():
     np.testing.assert_array_equal(idx_native.doc_ids, idx_py.doc_ids)
     np.testing.assert_allclose(idx_native.ensure_scores(), idx_py.ensure_scores(),
                                rtol=1e-5)
+
+
+def test_native_vocab_lookup_matches_python():
+    from a_modular_rag_framework_tpu.native.binding import NativeVocab
+
+    corpus = ["alpha beta gamma", "beta delta", "gamma gamma epsilon"]
+    idx = Bm25DeviceIndex.build_python(corpus)
+    nv = NativeVocab(idx.vocab)
+    assert nv.available
+    queries = ["beta gamma unknownword", "", "epsilon alpha alpha"]
+    got = nv.lookup_batch(queries, max_terms=6)
+    for q, row in zip(queries, got):
+        want = [idx.vocab[t] for t in tokenize(q) if t in idx.vocab][:6]
+        want = want + [-1] * (6 - len(want))
+        assert row.tolist() == want, (q, row.tolist(), want)
