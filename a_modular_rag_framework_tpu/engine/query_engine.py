@@ -573,6 +573,48 @@ class TPUQueryEngine:
             diagnostics=diagnostics,
         )
 
+    # ------------- pure-dense retrieval (BASELINE config 2) -------------
+
+    def query_dense_batch(
+        self,
+        queries: Sequence[str],
+        *,
+        top_k: Optional[int] = None,
+        use_pallas: Any = "auto",
+    ) -> QueryResult:
+        """Brute-force dense retrieval over the FULL corpus: cosine top-k via
+        the fused matmul+top-k kernel (`ops.topk.dense_topk` — the Pallas
+        kernel on TPU, XLA elsewhere). No BM25/graph channels; this is the
+        exact-dense-index path of BASELINE.json config 2."""
+        from ..ops.topk import dense_topk
+
+        B_real = len(queries)
+        k = min(int(top_k or self.config.top_k), self._n)
+        if self._n == 0 or B_real == 0:
+            empty = HitBatch(ids=np.full((B_real, k or 1), -1, np.int32),
+                             scores=np.zeros((B_real, k or 1), np.float32))
+            return QueryResult(hits=empty,
+                               channel_norms=np.zeros((3, B_real, k or 1)),
+                               diagnostics={"empty_index": self._n == 0})
+        B = self._bucket(B_real)
+        padded = list(queries) + [""] * (B - B_real)
+        q = jnp.asarray(
+            np.asarray(self.encoder.encode_texts(padded), dtype=np.float32)
+        )
+        t0 = time.time()
+        s, i = dense_topk(q, self._emb, k, use_pallas=use_pallas,
+                          tile_n=2048)
+        jax.block_until_ready(s)
+        dt_ms = (time.time() - t0) * 1000.0
+        s = np.asarray(s)[:B_real]
+        i = np.asarray(i)[:B_real]
+        return QueryResult(
+            hits=HitBatch(ids=i, scores=s),
+            channel_norms=np.zeros((3, B_real, k), dtype=np.float32),
+            diagnostics={"mode": "dense_only", "device_ms": round(dt_ms, 3),
+                         "batch_bucket": B},
+        )
+
     # ------------- ops / recovery -------------
 
     def profile(self, trace_dir: str):

@@ -89,6 +89,14 @@ class TPUHybridRetrievalBackend:
         index: Optional[PackedIndex] = None,
         engine: Optional[TPUQueryEngine] = None,
         use_pallas: Any = "auto",
+        include_entity_graph: bool = True,
+        graph_seed_weighted: bool = True,
+        bm25_impl: str = "sorted",
+        bm25_term_topm: int = 128,
+        fusion_impl: str = "compact",
+        batch_buckets: Any = (1, 8, 64, 256),
+        iterative_hops: int = 2,
+        hop_decay: float = 0.5,
     ):
         self.router = router
         self.sink = sink
@@ -96,6 +104,11 @@ class TPUHybridRetrievalBackend:
         self.default_top_k = int(default_top_k)
         self.graph_window = int(graph_window)
         self.embed_batch = int(embed_batch)
+        # iterative_hops >= 2 enables bridge-entity hop-2 reformulation
+        # (modules.retrieval.multihop) — the capability the reference's
+        # single-shot retriever lacks; costs one extra engine batch
+        self.iterative_hops = int(iterative_hops)
+        self.hop_decay = float(hop_decay)
 
         self.expander = LLMQueryExpander(router, qe_lines, qe_attr_paraphrase)
 
@@ -115,6 +128,12 @@ class TPUHybridRetrievalBackend:
                 alpha_text=alpha_text,
                 alpha_graph=alpha_graph,
                 alpha_dense=alpha_dense,
+                include_entity_graph=include_entity_graph,
+                graph_seed_weighted=graph_seed_weighted,
+                bm25_impl=bm25_impl,
+                bm25_term_topm=bm25_term_topm,
+                fusion_impl=fusion_impl,
+                batch_buckets=tuple(batch_buckets),
             )
             self.engine = TPUQueryEngine(index, encoder=encoder, config=config,
                                          sink=sink)
@@ -181,15 +200,37 @@ class TPUHybridRetrievalBackend:
             seeds = self._graph_seed_rows(req.graph_id or "")
 
         gw = req.graph_window if isinstance(req.graph_window, int) else None
+        window = gw if gw is not None else self.graph_window
         with span("Backend/EngineQuery", self.sink, trace_id):
-            result = self.engine.query_batch(
-                [req.query],
-                expansions=[expanded],
-                seed_rows=[seeds] if seeds is not None else None,
-                top_k=top_k,
-                graph_window=gw if gw is not None else self.graph_window,
-                trace_id=trace_id,
-            )
+            if self.iterative_hops >= 2:
+                from .multihop import iterative_retrieve
+
+                ids, scores, norms, diag = iterative_retrieve(
+                    self.engine, [req.query],
+                    top_k=top_k,
+                    hop_decay=self.hop_decay,
+                    expansions=[expanded],
+                    seed_rows=[seeds] if seeds is not None else None,
+                    graph_window=window,
+                    trace_id=trace_id,
+                )
+                from ...engine.query_engine import QueryResult
+                from ...core.dto import HitBatch
+
+                result = QueryResult(
+                    hits=HitBatch(ids=ids, scores=scores),
+                    channel_norms=np.moveaxis(norms, 1, 0),
+                    diagnostics=diag,
+                )
+            else:
+                result = self.engine.query_batch(
+                    [req.query],
+                    expansions=[expanded],
+                    seed_rows=[seeds] if seeds is not None else None,
+                    top_k=top_k,
+                    graph_window=window,
+                    trace_id=trace_id,
+                )
             hits = self.engine.hydrate_hits(result, 0)
 
         diagnostics = {

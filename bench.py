@@ -99,9 +99,25 @@ def main() -> None:
     e2e_qps = BATCH / min(e2e)
     device_qps = BATCH / (min(device_ms) / 1000.0)
 
-    # quality: Recall@10 over a held slice
+    # quality: Recall@10 over a held slice (single-pass and iterative 2-hop)
     quality = evaluate_retrieval(engine, samples[:128], k=TOP_K,
                                  batch_size=BATCH)
+    from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
+    from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+    )
+
+    eval_qs = [s["question"] for s in samples[:128]]
+    t0 = time.time()
+    it_ids, _, _, _ = iterative_retrieve(engine, eval_qs, top_k=TOP_K)
+    it_sec = time.time() - t0
+    it_recalls = []
+    for row, s in enumerate(samples[:128]):
+        got = [engine.index.corpus.hit_id(int(i)) for i in it_ids[row] if i >= 0]
+        it_recalls.append(recall_at_k(got, gold_hit_ids(s), TOP_K))
+    iterative_recall = float(np.mean(it_recalls)) if it_recalls else 0.0
+    iterative_qps = round(len(eval_qs) / it_sec, 1) if it_sec > 0 else 0.0
 
     result = {
         "metric": "2hop_hybrid_queries_per_sec",
@@ -111,6 +127,8 @@ def main() -> None:
         "extras": {
             "device_program_qps": round(device_qps, 1),
             "recall_at_10": round(quality[f"recall_at_{TOP_K}"], 4),
+            "recall_at_10_iterative_2hop": round(iterative_recall, 4),
+            "iterative_2hop_qps": iterative_qps,
             "mrr": round(quality["mrr"], 4),
             "corpus_passages": idx.n_docs,
             "batch": BATCH,

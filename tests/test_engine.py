@@ -241,3 +241,21 @@ def test_build_mesh_shapes():
     assert m2.shape["model"] == 2 and m2.shape["data"] == 4
     with pytest.raises(ValueError):
         build_mesh({"data": 3})
+
+
+def test_dense_only_query(packed):
+    """Pure-dense brute-force retrieval over the full corpus (config 2)."""
+    idx, samples = packed
+    engine = TPUQueryEngine(idx, config=EngineConfig(top_k=5, batch_buckets=(1, 4)))
+    res = engine.query_dense_batch([samples[0]["question"]], top_k=5)
+    ids = np.asarray(res.hits.ids)[0]
+    scores = np.asarray(res.hits.scores)[0]
+    assert (ids >= 0).all() and res.diagnostics["mode"] == "dense_only"
+    # matches the brute-force numpy cosine
+    emb = hash_embed_numpy(idx.corpus.texts(), dim=64)
+    q = hash_embed_numpy([samples[0]["question"]], dim=64)[0]
+    norms = np.linalg.norm(emb, axis=1) * np.linalg.norm(q)
+    sims = np.where(norms > 0, emb @ q / np.maximum(norms, 1e-9), 0.0)
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert set(ids.tolist()) <= set(np.argsort(-sims)[:20].tolist())
+    np.testing.assert_allclose(scores, np.sort(sims)[::-1][:5], atol=2e-2)
