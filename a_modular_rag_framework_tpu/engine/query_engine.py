@@ -42,7 +42,8 @@ from ..index.packed import PackedIndex
 from ..models.hash_embed import HashEmbedEncoder, tokenize
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels
-from ..ops.graph import expand_frontier, expand_frontier_weighted
+from ..ops.graph import (expand_frontier, expand_frontier_weighted,
+                         expand_frontier_weighted_capped)
 from ..telemetry.sinks import TelemetrySink, record_device_timing
 
 
@@ -291,8 +292,15 @@ class TPUQueryEngine:
                         .max(seed_vals)[:, :n]
                     )
 
-                    def one_expand_w(sv):
-                        return expand_frontier_weighted(nbrs, sv, window=window)
+                    if cfg.frontier_cap:
+                        def one_expand_w(sv):
+                            return expand_frontier_weighted_capped(
+                                nbrs, sv, window=window,
+                                frontier_cap=cfg.frontier_cap)
+                    else:
+                        def one_expand_w(sv):
+                            return expand_frontier_weighted(nbrs, sv,
+                                                            window=window)
 
                     graph_scores = jax.vmap(one_expand_w)(seed_scores)
                 else:

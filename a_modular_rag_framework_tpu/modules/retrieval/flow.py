@@ -69,8 +69,24 @@ class RetrievalAgentFlow:
         impl_spec = cfg.get("impl")
         if impl_spec:
             impl_cls = import_from_string(impl_spec)
+            raw_kwargs = dict(cfg.get("impl_kwargs") or {})
+            # top-level TPU sections feed backend defaults (module-level
+            # impl_kwargs win): index -> embed dim/dtype/capacities,
+            # kernels -> pallas toggle
+            index_cfg = settings.get("index") or {}
+            for src_key, dst_key in (("embed_dim", "embed_dim"),
+                                     ("dtype", "embed_dtype"),
+                                     ("max_postings_per_term", "bm25_term_topm")):
+                if src_key in index_cfg:
+                    raw_kwargs.setdefault(dst_key, index_cfg[src_key])
+            kernels_cfg = settings.get("kernels") or {}
+            if "use_pallas" in kernels_cfg:
+                raw_kwargs.setdefault("use_pallas", kernels_cfg["use_pallas"])
+            if "query_batch_buckets" in kernels_cfg:
+                raw_kwargs.setdefault("batch_buckets",
+                                      kernels_cfg["query_batch_buckets"])
             impl_kwargs = filtered_kwargs(
-                impl_cls, dict(cfg.get("impl_kwargs") or {}),
+                impl_cls, raw_kwargs,
                 inject={"router": router, "sink": sink, "engine": engine},
             )
             backend = impl_cls(**impl_kwargs)

@@ -283,3 +283,27 @@ def test_semantic_edges_matches_pairwise_cosine(rng):
 def test_semantic_edges_empty_and_single():
     assert semantic_edges(np.zeros((0, 4), dtype=np.float32), threshold=0.5) == []
     assert semantic_edges(np.ones((1, 4), dtype=np.float32), threshold=0.5) == []
+
+
+def test_capped_weighted_expansion_matches_dense(rng):
+    from a_modular_rag_framework_tpu.ops.graph import (
+        expand_frontier_weighted,
+        expand_frontier_weighted_capped,
+    )
+
+    n = 50
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(80, 2)) if a != b]
+    nbrs = build_neighbor_table(n, np.array([e[0] for e in edges]),
+                                np.array([e[1] for e in edges]), max_degree=16)
+    seeds = np.zeros(n, dtype=np.float32)
+    seeds[[2, 9, 30]] = [1.0, 0.5, 0.8]
+    dense = expand_frontier_weighted(jnp.asarray(nbrs), jnp.asarray(seeds), window=2)
+    capped = expand_frontier_weighted_capped(jnp.asarray(nbrs), jnp.asarray(seeds),
+                                             window=2, frontier_cap=n)
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(dense), rtol=1e-6)
+    # tiny cap still propagates from the strongest seed
+    capped1 = np.asarray(expand_frontier_weighted_capped(
+        jnp.asarray(nbrs), jnp.asarray(seeds), window=1, frontier_cap=1))
+    for b in nbrs[2]:
+        if b >= 0:
+            assert capped1[b] >= 0.7 - 1e-6
