@@ -259,3 +259,23 @@ def test_dense_only_query(packed):
     want = np.argsort(-sims, kind="stable")[:5]
     assert set(ids.tolist()) <= set(np.argsort(-sims)[:20].tolist())
     np.testing.assert_allclose(scores, np.sort(sims)[::-1][:5], atol=2e-2)
+
+
+def test_sharded_dense_engine_matches_single_chip(packed):
+    """Multi-chip dense serving over the 8-device CPU mesh."""
+    from a_modular_rag_framework_tpu.parallel.sharded_engine import ShardedDenseEngine
+
+    idx, samples = packed
+    sharded = ShardedDenseEngine(idx, batch_buckets=(4,))
+    assert sharded.n_shards == 8
+    single = TPUQueryEngine(idx, config=EngineConfig(batch_buckets=(4,)))
+    qs = [s["question"] for s in samples[:3]]
+    hb = sharded.query_batch(qs, top_k=7)
+    rd = single.query_dense_batch(qs, top_k=7)
+    # same candidates and scores as the single-device dense path
+    np.testing.assert_allclose(np.asarray(hb.scores),
+                               np.asarray(rd.hits.scores), atol=2e-2)
+    for b in range(3):
+        a = set(int(x) for x in np.asarray(hb.ids)[b])
+        c = set(int(x) for x in np.asarray(rd.hits.ids)[b])
+        assert len(a & c) >= 5  # ties at the boundary may swap
