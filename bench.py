@@ -23,8 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-N_SAMPLES = 600          # -> ~10k unique sentences with unique_entities
-BATCH = 256
+N_SAMPLES = 600          # -> ~13k unique sentences with unique_entities
+BATCH = 512
 TOP_K = 10
 WINDOW = 2
 N_TRIALS = 5
@@ -80,6 +80,8 @@ def main() -> None:
     )
 
     questions = [s["question"] for s in samples[:BATCH]]
+    if len(questions) < BATCH:
+        questions = (questions * ((BATCH // len(questions)) + 1))[:BATCH]
 
     # pre-encode once: the benchmark isolates the device query program
     # (host tokenization is measured separately below)
@@ -109,6 +111,7 @@ def main() -> None:
     )
 
     eval_qs = [s["question"] for s in samples[:128]]
+    iterative_retrieve(engine, eval_qs, top_k=TOP_K)  # compile warmup
     t0 = time.time()
     it_ids, _, _, _ = iterative_retrieve(engine, eval_qs, top_k=TOP_K)
     it_sec = time.time() - t0
