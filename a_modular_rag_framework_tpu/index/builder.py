@@ -123,11 +123,12 @@ def build_packed_index(
         rows = len(batch)
         if rows < embed_batch:
             batch = batch + [""] * (embed_batch - rows)
-        if hasattr(encoder, "featurize"):
-            feats = encoder.featurize(batch)
-            fut = encoder._encode(*feats, encoder.dim)
-        else:
-            fut = encoder.encode_texts(batch)
+        # encode_texts picks the right execution: vectorized host path for
+        # the hash encoder (device dispatch would cost compile + transfer
+        # round-trips), jitted device batch for learned encoders. Device
+        # results are JAX arrays whose materialization below overlaps with
+        # the next batch's featurization (async dispatch).
+        fut = encoder.encode_texts(batch)
         if pending is not None:
             shards.append(np.asarray(pending)[:pending_rows])
         pending, pending_rows = fut, rows

@@ -114,7 +114,21 @@ class HashEmbedEncoder:
         return acc / jnp.maximum(norms, 1e-9)
 
     def encode_token_batch(self, buckets: np.ndarray, signs: np.ndarray) -> np.ndarray:
-        return np.asarray(self._encode(buckets, signs, self.dim))
+        """Vectorized HOST accumulation (per-row bincount + normalize).
+
+        For standalone batch encoding the host path beats the device one:
+        the computation is trivial (scatter of ~100 signs per row into a
+        64-dim vector) while a device dispatch costs a compile the first
+        time (~minutes through a remote-compile tunnel) plus transfer
+        round-trips every time. The device path (`device_embed`) exists for
+        fusion INSIDE the engine's query program, where it's free."""
+        B = buckets.shape[0]
+        acc = np.empty((B, self.dim), dtype=np.float32)
+        for i in range(B):
+            acc[i] = np.bincount(buckets[i], weights=signs[i],
+                                 minlength=self.dim)[: self.dim]
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        return acc / np.maximum(norms, 1e-9)
 
     # ---- in-program embedding (engine fuses this into its device program
     # so query encoding doesn't cost a second dispatch round-trip) ----
