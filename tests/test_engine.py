@@ -279,3 +279,14 @@ def test_sharded_dense_engine_matches_single_chip(packed):
         a = set(int(x) for x in np.asarray(hb.ids)[b])
         c = set(int(x) for x in np.asarray(rd.hits.ids)[b])
         assert len(a & c) >= 5  # ties at the boundary may swap
+
+
+def test_long_query_term_truncation(packed):
+    """Queries longer than max_query_terms truncate cleanly (T bucketing)."""
+    idx, samples = packed
+    engine = TPUQueryEngine(idx, config=EngineConfig(top_k=5, max_query_terms=32,
+                                                     batch_buckets=(1,)))
+    long_q = " ".join(tokenize(samples[0]["question"]) * 10)  # ~80 terms
+    res = engine.query_batch([long_q])
+    assert np.asarray(res.hits.ids).shape == (1, 5)
+    assert (np.asarray(res.hits.ids) >= -1).all()
