@@ -51,6 +51,13 @@ def semantic_sim_matrix(
     return out
 
 
+def _bucket(n: int) -> int:
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
 def semantic_edges(
     emb: np.ndarray,
     *,
@@ -58,13 +65,22 @@ def semantic_edges(
     top_k_per_node: int = 0,
 ) -> List[Tuple[int, int, float]]:
     """Host wrapper: unique upper-triangle (i, j, sim) pairs above threshold
-    (the reference iterates itertools.combinations — i < j only)."""
+    (the reference iterates itertools.combinations — i < j only).
+
+    Rows are padded to a power-of-two bucket so per-question graphs of
+    different sizes reuse one compiled program (zero-padded rows have zero
+    norm and produce no edges by construction)."""
     n = emb.shape[0]
     if n < 2:
         return []
+    nb = _bucket(n)
+    if nb > n:
+        emb = np.concatenate(
+            [emb, np.zeros((nb - n, emb.shape[1]), dtype=emb.dtype)], axis=0
+        )
     S = np.asarray(semantic_sim_matrix(jnp.asarray(emb, dtype=jnp.float32),
                                        threshold=threshold,
-                                       top_k_per_node=top_k_per_node))
+                                       top_k_per_node=top_k_per_node))[:n, :n]
     iu = np.triu_indices(n, k=1)
     vals = S[iu]
     mask = vals > 0
