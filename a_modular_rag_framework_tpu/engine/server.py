@@ -11,7 +11,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import CancelledError, Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -66,6 +66,16 @@ class QueryServer:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # reject anything still queued so no caller hangs on .result()
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(
+                    CancelledError("QueryServer stopped before dispatch")
+                )
 
     def __enter__(self) -> "QueryServer":
         return self.start()

@@ -133,7 +133,10 @@ class GraphConstructionArrays:
         np.savez(out_dir / "adjacency.npz",
                  neighbors=packed["neighbors"],
                  qmatch_seeds=packed["qmatch_seeds"],
-                 node_ids=np.asarray([nd["id"] for nd in nodes], dtype=object))
+                 # fixed-width unicode, NOT dtype=object: keeps the artifact
+                 # loadable with allow_pickle=False (pickle loading of an
+                 # attacker-supplied graph dir would be arbitrary code exec)
+                 node_ids=np.asarray([str(nd["id"]) for nd in nodes], dtype=str))
 
         manifest = {
             "graph_id": graph_id,

@@ -166,7 +166,7 @@ class TPUHybridRetrievalBackend:
         by = self.engine.index.corpus.row_by_title_sid()
         try:
             if adj.exists():
-                data = np.load(adj, allow_pickle=True)
+                data = np.load(adj, allow_pickle=False)
                 node_ids = list(data["node_ids"])
                 for seed in data["qmatch_seeds"]:
                     nid = str(node_ids[int(seed)])

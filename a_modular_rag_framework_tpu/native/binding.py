@@ -97,7 +97,11 @@ def native_available() -> bool:
 
 def _text_array(texts: List[str]):
     arr = (ctypes.c_char_p * len(texts))()
-    encoded = [t.encode("utf-8", errors="ignore") for t in texts]
+    # Pre-lowercase with Python's full Unicode tables: the C++ tokenizer
+    # lowercases ASCII bytes only, and some non-ASCII chars lower() into
+    # ASCII letters (e.g. Kelvin sign -> 'k'). Feeding it pre-lowercased
+    # utf-8 keeps native and Python token streams bit-identical.
+    encoded = [t.lower().encode("utf-8", errors="ignore") for t in texts]
     for i, e in enumerate(encoded):
         arr[i] = e
     return arr, encoded  # keep `encoded` alive

@@ -85,7 +85,7 @@ def _iterative_topk(scores: jax.Array, ids: jax.Array, k: int) -> Tuple[jax.Arra
     return out_s, out_i
 
 
-def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile_n: int, precision=None):
+def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile_n: int, n_valid: int, precision=None):
     """One corpus tile: scores = q @ tile^T, merge into running top-k scratch.
 
     Grid is 1-D over corpus tiles and executes sequentially on a TPU core,
@@ -107,6 +107,9 @@ def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, ti
     )  # [B, tile_n]
     B = scores.shape[0]
     tile_ids = jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1) + t * tile_n
+    # padded corpus rows (>= n_valid) must never win, even against real
+    # candidates with negative inner products: kill them here, not post-hoc
+    scores = jnp.where(tile_ids < n_valid, scores, NEG_INF)
 
     cat_s = jnp.concatenate([run_s[:], scores], axis=1)
     cat_i = jnp.concatenate([run_i[:], tile_ids], axis=1)
@@ -126,9 +129,9 @@ def dense_topk_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused matmul+top-k without materializing [B, N] scores in HBM.
 
-    Pads N up to a tile multiple; padded rows are zero vectors whose scores
-    can never beat real candidates unless B*k exceeds real rows, in which
-    case padded ids are masked to -1.
+    Pads N up to a tile multiple; padded rows are masked to NEG_INF inside
+    the kernel (by global row id), so they can never beat real candidates —
+    including real candidates with negative inner products.
     """
     B, dim = q.shape
     N = d.shape[0]
@@ -140,7 +143,8 @@ def dense_topk_pallas(
     n_tiles = d.shape[0] // tile_n
 
     out_s, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, k=k, tile_n=tile_n, precision=precision),
+        functools.partial(_topk_kernel, k=k, tile_n=tile_n, n_valid=N,
+                          precision=precision),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((B, dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -160,7 +164,7 @@ def dense_topk_pallas(
         ],
     )(q, d)
 
-    # mask out padded corpus rows (only reachable when k ~ N)
+    # belt-and-braces: padded rows already scored NEG_INF in-kernel
     valid = out_i < N
     out_s = jnp.where(valid, out_s, NEG_INF)
     out_i = jnp.where(valid, out_i, -1)

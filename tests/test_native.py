@@ -95,3 +95,25 @@ def test_native_vocab_lookup_matches_python():
         want = [idx.vocab[t] for t in tokenize(q) if t in idx.vocab][:6]
         want = want + [-1] * (6 - len(want))
         assert row.tolist() == want, (q, row.tolist(), want)
+
+
+def test_native_unicode_lowercase_parity():
+    """Non-ASCII chars that lower() into ASCII (Kelvin sign, dotted I) must
+    tokenize identically on the native and Python paths (ADVICE r1)."""
+    from a_modular_rag_framework_tpu.native.binding import (
+        bm25_build_native,
+        token_counts_native,
+    )
+
+    texts = ["the K elvin sign", "İstanbul style", "plain ascii text"]
+    counts = token_counts_native(texts)
+    if counts is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    want = [len(tokenize(t)) for t in texts]
+    assert counts.tolist() == want
+
+    got = bm25_build_native(texts)
+    ref = Bm25DeviceIndex.build_python(texts)
+    assert set(got["vocab"]) == set(ref.vocab)

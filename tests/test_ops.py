@@ -111,6 +111,23 @@ def test_dense_topk_pallas_interpret_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
 
 
+def test_dense_topk_pallas_all_negative_scores(rng):
+    """Padded zero rows (score 0) must not beat real negative candidates."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = rng.standard_normal((3, 16), dtype=np.float32)
+    D = -np.abs(rng.standard_normal((100, 16), dtype=np.float32))
+    Q = np.abs(Q)  # every real inner product strictly negative; N=100 pads to 128
+    with pltpu.force_tpu_interpret_mode():
+        s_p, i_p = dense_topk_pallas(jnp.asarray(Q), jnp.asarray(D), 7, tile_n=128,
+                                     precision=jax.lax.Precision.HIGHEST)
+    s_x, i_x = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D), 7,
+                              precision=jax.lax.Precision.HIGHEST)
+    assert (np.asarray(s_p) < 0).all()
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5)
+
+
 def test_dense_topk_pallas_bf16_storage(rng):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -117,3 +117,45 @@ def test_graph_store_fallback_token_seeds(tmp_path):
                                   texts, window=1)
     assert out["D::sent0"][0] == 1.0
     assert out["D::sent1"][0] == pytest.approx(0.7)
+
+
+def test_server_stop_rejects_undispatched(engine):
+    """Requests still queued at stop() must fail fast, not hang .result()."""
+    from concurrent.futures import CancelledError
+
+    from a_modular_rag_framework_tpu.engine.server import QueryServer
+
+    server = QueryServer(engine, max_batch=4)
+    # never started: submissions sit in the queue forever unless drained
+    fut = server.submit("orphaned question")
+    server.stop()
+    with pytest.raises(CancelledError):
+        fut.result(timeout=1)
+
+
+def test_adjacency_npz_loads_without_pickle(tmp_path):
+    """adjacency.npz must stay allow_pickle=False-loadable (ADVICE r1)."""
+    import numpy as np
+
+    from a_modular_rag_framework_tpu.core.dto import GraphBuildIn
+    from a_modular_rag_framework_tpu.modules.graph_construction.impl_arrays import (
+        GraphConstructionArrays,
+    )
+
+    impl = GraphConstructionArrays(root_dir=str(tmp_path), write_analysis=False)
+    nodes = [
+        {"id": "q1", "type": "question", "text": "who?"},
+        {"id": "D::sent0", "type": "sentence", "text": "alpha beta"},
+        {"id": "D::sent1", "type": "sentence", "text": "beta gamma"},
+    ]
+    edges = [
+        {"source": "D::sent0", "target": "D::sent1", "type": "next_in_doc"},
+        {"source": "q1", "target": "D::sent0", "type": "q_match", "weight": 1.0},
+    ]
+    impl.build(GraphBuildIn(trace_id="t-pickle", graph_id="g-pickle-test",
+                            question_text="who?", nodes=nodes, edges=edges))
+    adj = tmp_path / "g-pickle-test" / "adjacency.npz"
+    assert adj.exists()
+    data = np.load(adj, allow_pickle=False)
+    assert data["node_ids"].dtype.kind == "U"
+    assert list(data["node_ids"]) == ["q1", "D::sent0", "D::sent1"]
