@@ -82,6 +82,13 @@ class SyntheticHotpotQALoader(DatasetLoader):
                  "jor", "kel", "lor", "mar", "nor", "or", "pel", "quin",
                  "rav", "sel", "tor", "ul", "ven", "wyn", "xan", "yor", "zel"]
 
+    TOPIC = ["local history", "river navigation", "glass chemistry",
+             "mountain flora", "early cartography", "harbor trade",
+             "choral music", "printmaking", "bridge engineering",
+             "coastal weather", "folk ballads", "timber architecture"]
+    INSTITUTE = ["Northgate", "Riverside", "Halloway", "Crestfield",
+                 "Windmere", "Stonebridge", "Lakeshore", "Fernhill"]
+
     def __init__(self, cfg: Dict[str, Any]):
         super().__init__(cfg)
         self.n = int(cfg.get("count", 64) if cfg.get("count", 64) != -1 else 64)
@@ -92,6 +99,10 @@ class SyntheticHotpotQALoader(DatasetLoader):
         # counter, so large corpora don't collapse under (title, sent_id)
         # dedup (the 20x20 name pools collide past ~400 docs)
         self.unique_entities = bool(cfg.get("unique_entities", False))
+        # variety: varied sentence/question templates, filler sentences,
+        # variable doc lengths, hard distractors (shared surnames/cities) —
+        # a closer proxy for real HotpotQA text statistics
+        self.variety = bool(cfg.get("variety", False))
         self._name_counter = 0
 
     def _synth_surname(self, idx: int) -> str:
@@ -153,8 +164,94 @@ class SyntheticHotpotQALoader(DatasetLoader):
             "supporting_facts": [[doc1_title, 1], [doc2_title, 0]],
         }
 
+    # ---- variety mode ----
+
+    def _filler(self, rng: random.Random, p: str) -> str:
+        t = rng.choice(self.TOPIC)
+        inst = rng.choice(self.INSTITUTE)
+        year = rng.randrange(1890, 1990)
+        return rng.choice([
+            f"{p} received a regional medal in {year}.",
+            f"{p} spent several years teaching at the {inst} institute.",
+            f"{p} published essays on {t}.",
+            f"Critics praised the work of {p} on {t}.",
+            f"In {year} {p} moved away from public life.",
+            f"{p} kept extensive notebooks about {t}.",
+            f"Colleagues remembered {p} as a careful reader of {t}.",
+        ])
+
+    def _make_sample_variety(self, i: int) -> Dict[str, Any]:
+        rng = random.Random(f"{self.seed}:{i}:v")
+        a = self._person(rng)
+        b = self._person(rng)
+        city = rng.choice(self.CITY)
+        prof = rng.choice(self.PROFESSION)
+
+        question = rng.choice([
+            f"In which city was the collaborator of {a} born?",
+            f"Where was the longtime collaborator of {a} born?",
+            f"The collaborator of {a} was born in which city?",
+            f"In what city was the frequent collaborator of {a} born?",
+        ])
+
+        bridge_sent = rng.choice([
+            f"{a} collaborated closely with {b} for over a decade.",
+            f"Throughout a long career {a} collaborated with {b} on many projects.",
+            f"{a} worked in close collaboration with {b}.",
+            f"A celebrated collaboration linked {a} and {b} for years.",
+        ])
+        birth_sent = rng.choice([
+            f"{b} was born in {city}.",
+            f"{b} was born in the city of {city}.",
+            f"{b} was born and raised in {city}.",
+            f"Records show {b} was born in {city} to a family of artisans.",
+        ])
+
+        doc1_sents = [f"{a} was a {rng.choice(self.PROFESSION)} known for early work."]
+        for _ in range(rng.randrange(0, 3)):
+            doc1_sents.append(self._filler(rng, a))
+        bridge_pos = rng.randrange(1, len(doc1_sents) + 1)
+        doc1_sents.insert(bridge_pos, bridge_sent)
+
+        doc2_sents = [birth_sent]
+        doc2_sents.append(f"{b} worked as a {prof} before turning to teaching.")
+        for _ in range(rng.randrange(0, 3)):
+            doc2_sents.append(self._filler(rng, b))
+        birth_pos = rng.randrange(0, 2)
+        if birth_pos == 1:
+            doc2_sents[0], doc2_sents[1] = doc2_sents[1], doc2_sents[0]
+
+        context = [[a, doc1_sents], [b, doc2_sents]]
+        n_dis = rng.randrange(max(2, self.n_distractors - 2),
+                              self.n_distractors + 3)
+        for d in range(n_dis):
+            drng = random.Random(f"{self.seed}:{i}:vd{d}")
+            p = self._person(drng)
+            # hard distractors: reuse the answer city, or echo the
+            # question's first name with a different surname
+            if d == 0:
+                p = f"{a.split()[0]} {p.split()[1]}"
+            c = city if d == 1 else drng.choice(self.CITY)
+            sents = [f"{p} was born in {c}."]
+            for _ in range(drng.randrange(1, 4)):
+                sents.append(self._filler(drng, p))
+            context.append([p, sents])
+        rng.shuffle(context)
+
+        sample_id = hashlib.sha1(f"{self.seed}:{i}:v".encode()).hexdigest()[:24]
+        return {
+            "_id": sample_id,
+            "question": question,
+            "answer": city,
+            "type": "bridge",
+            "level": "medium",
+            "context": context,
+            "supporting_facts": [[a, bridge_pos], [b, birth_pos]],
+        }
+
     def load(self) -> List[Dict[str, Any]]:
-        return [self._make_sample(i) for i in range(self.index, self.index + self.n)]
+        make = self._make_sample_variety if self.variety else self._make_sample
+        return [make(i) for i in range(self.index, self.index + self.n)]
 
 
 DATASET_REGISTRY = {

@@ -45,7 +45,7 @@ from ..core.dto import HitBatch
 from ..index.packed import PackedIndex
 from ..models.hash_embed import HashEmbedEncoder, tokenize
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
-from ..ops.fusion import fuse_channels
+from ..ops.fusion import fuse_channels, fuse_pools_compact
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
                          expand_frontier_weighted_capped)
 from ..telemetry.sinks import TelemetrySink, record_device_timing
@@ -197,15 +197,6 @@ class TPUQueryEngine:
         nbrs = self._nbrs
         emb = self._emb
         bm = self._bm25
-
-        def minmax_rows(v, valid):
-            big = jnp.float32(1e30)
-            lo = jnp.min(jnp.where(valid, v, big), axis=1, keepdims=True)
-            hi = jnp.max(jnp.where(valid, v, -big), axis=1, keepdims=True)
-            span = hi - lo
-            ok = span > 0
-            out = jnp.where(valid, (v - lo) / jnp.where(ok, span, 1.0), 0.0)
-            return jnp.where(ok, out, jnp.zeros_like(out))
 
         def _pack_outputs(top_s, top_i, norms_at, counts):
             # two output arrays instead of four: each device->host transfer
@@ -380,83 +371,14 @@ class TPUQueryEngine:
 
         def _fuse_compact(pool_s, pool_i, pool_valid, dense_pool,
                           graph_scores, g_pool_s, g_pool_i, g_valid):
-            """Pool-compact fusion: operates on the 2*pool_k candidate union
-            — no [B, N] channel buffers, no scatters (sort-dedup instead).
-
-            Semantics identical to the dense path: per-channel min-max over
-            each channel's own pool; ids only in the graph pool contribute
-            a_graph * norm_graph alone; ids in the text pool gather their
-            graph value when (and only when) they are graph-pool members.
-            """
-            big = jnp.float32(1e30)
-            # channel norms over their own pools
-            nt = minmax_rows(pool_s, pool_valid)
-            nd = minmax_rows(dense_pool, pool_valid)
-            ng_pool = minmax_rows(g_pool_s, g_valid)
-            # graph values at text-pool ids (gather from the expansion wave)
+            """Pool-compact fusion via the shared `ops.fusion.fuse_pools_compact`
+            (also the fusion stage of the sharded hybrid engine)."""
             safe_ids = jnp.clip(pool_i, 0, max(n - 1, 0))
             t_graph_raw = jnp.take_along_axis(graph_scores, safe_ids, axis=1)
-            g_lo = jnp.min(jnp.where(g_valid, g_pool_s, big), axis=1,
-                           keepdims=True)
-            g_hi = jnp.max(jnp.where(g_valid, g_pool_s, -big), axis=1,
-                           keepdims=True)
-            g_span_ok = (g_hi - g_lo) > 0
-            in_gpool = pool_valid & (t_graph_raw > 0) & (t_graph_raw >= g_lo)
-            ng_text = jnp.where(
-                in_gpool & g_span_ok,
-                (t_graph_raw - g_lo) / jnp.where(g_span_ok, g_hi - g_lo, 1.0),
-                0.0,
+            return fuse_pools_compact(
+                pool_s, pool_i, pool_valid, dense_pool, t_graph_raw,
+                g_pool_s, g_pool_i, g_valid, alphas=alphas, k=k, n=n,
             )
-
-            fused_text = (alphas[0] * nt + alphas[1] * ng_text
-                          + alphas[2] * nd)
-            fused_g = alphas[1] * ng_pool
-
-            # union with dedup: sort by (id, text-first); drop non-first
-            # entries of equal ids (a dup is always text+graph for one id)
-            ids_cat = jnp.concatenate([pool_i, g_pool_i], axis=1)
-            flag = jnp.concatenate(
-                [jnp.zeros_like(pool_i), jnp.ones_like(g_pool_i)], axis=1
-            )
-            valid_cat = jnp.concatenate([pool_valid, g_valid], axis=1)
-            fused_cat = jnp.concatenate([fused_text, fused_g], axis=1)
-            nt_cat = jnp.concatenate([nt, jnp.zeros_like(ng_pool)], axis=1)
-            ng_cat = jnp.concatenate([ng_text, ng_pool], axis=1)
-            nd_cat = jnp.concatenate([nd, jnp.zeros_like(ng_pool)], axis=1)
-
-            sort_ids = jnp.where(valid_cat, ids_cat, n + 1)
-            # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit
-            key = sort_ids * 2 + flag
-            order = jnp.argsort(key, axis=1)
-
-            def pick(x):
-                return jnp.take_along_axis(x, order, axis=1)
-
-            ids_s, flag_s = pick(sort_ids), pick(flag)
-            fused_s = pick(fused_cat)
-            nt_s, ng_s, nd_s = pick(nt_cat), pick(ng_cat), pick(nd_cat)
-            dup = jnp.concatenate(
-                [jnp.zeros((B, 1), dtype=jnp.bool_),
-                 ids_s[:, 1:] == ids_s[:, :-1]], axis=1,
-            )
-            alive = (ids_s <= n - 1 if n else ids_s < 0) & (~dup)
-            fused_m = jnp.where(alive, fused_s, -1e30)
-
-            top_s, pos = jax.lax.top_k(fused_m, min(k, fused_m.shape[1]))
-            ok = top_s > -1e29
-            top_i = jnp.where(ok, jnp.take_along_axis(ids_s, pos, axis=1), -1)
-            top_s = jnp.where(ok, top_s, 0.0)
-            norms_at = jnp.stack(
-                [jnp.take_along_axis(nt_s, pos, axis=1),
-                 jnp.take_along_axis(ng_s, pos, axis=1),
-                 jnp.take_along_axis(nd_s, pos, axis=1)], axis=1,
-            )  # [B, 3, k]
-            pad_k = k - top_s.shape[1]
-            if pad_k > 0:
-                top_s = jnp.pad(top_s, ((0, 0), (0, pad_k)))
-                top_i = jnp.pad(top_i, ((0, 0), (0, pad_k)), constant_values=-1)
-                norms_at = jnp.pad(norms_at, ((0, 0), (0, 0), (0, pad_k)))
-            return top_s, top_i.astype(jnp.int32), norms_at
 
         fn = jax.jit(program)
         self._jit_cache[key] = fn

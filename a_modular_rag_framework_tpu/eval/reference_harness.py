@@ -1,0 +1,416 @@
+"""Measured reference baseline — execute the ACTUAL reference implementation.
+
+BASELINE.md's "first milestone obligation": since the reference
+(AndyUkJ/A-Modular-RAG-Framework) publishes no numbers, the parity bar must
+be *measured* by running the reference pipeline itself. This harness imports
+the reference code from ``/root/reference`` (override with
+AMRF_REFERENCE_ROOT) — never copies it — and drives it on a shared dataset:
+
+  1. one dataset file (HotpotQA schema; real file if provided via --input,
+     else the synthetic HotpotQA-style generator — this environment has no
+     network access, so the real distractor dev set cannot be fetched);
+  2. the reference's own ingest (``my_code/ingest_hotpotqa.py``: per-sample
+     supporting-fact graphs + docs.jsonl) feeding the reference's
+     ``HybridRetrievalBackend`` (BM25LiteIndex + GraphNeighborExpander +
+     DenseReranker), with a deterministic hash-embedding provider injected
+     through its LLMRouter so both systems score dense similarity with
+     IDENTICAL embeddings (the offline default would zero out the
+     reference's dense channel, understating it);
+  3. our ingest CLI feeding ``TPUHybridRetrievalBackend`` on the same file;
+  4. identical metrics for both: Recall@k / MRR against supporting-fact
+     sentence ids, per-query latency, QPS.
+
+Hit-id canonicalization: the reference's fusion keys dense-channel entries
+by raw BM25 doc ids (``sent::<title>#<sid>::<sid>``) while text/graph
+entries use ``sent::<title>::<sid>`` (retrieval_backend.py:283-296 vs
+text_index doc ids) — the metric layer here canonicalizes both spellings to
+``(title, sid)`` so the reference is scored generously, not penalized for
+its id mismatch.
+
+Usage:
+  python -m a_modular_rag_framework_tpu.eval.reference_harness \
+      --samples 800 --questions 200 --out data/baseline_measured.json
+"""
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.dataset_loader import SyntheticHotpotQALoader
+from ..eval.metrics import mrr, recall_at_k
+
+DEFAULT_REFERENCE_ROOT = os.environ.get("AMRF_REFERENCE_ROOT", "/root/reference")
+
+
+# ---------------- reference import + adapters ----------------
+
+
+def import_reference(root: str = DEFAULT_REFERENCE_ROOT) -> SimpleNamespace:
+    """Import the reference modules in-place (no copying)."""
+    rootp = Path(root).resolve()
+    if not (rootp / "app").exists():
+        raise FileNotFoundError(
+            f"reference not found at {rootp} (set AMRF_REFERENCE_ROOT)"
+        )
+    if str(rootp) not in sys.path:
+        sys.path.insert(0, str(rootp))
+    return SimpleNamespace(
+        root=rootp,
+        backend_mod=importlib.import_module(
+            "app.modules.retrieval.retrieval_backend"),
+        dto=importlib.import_module("app.core.dto"),
+        router_mod=importlib.import_module("app.core.llm_router"),
+        ingest_mod=importlib.import_module("my_code.ingest_hotpotqa"),
+    )
+
+
+class HashEmbedProvider:
+    """Reference-protocol provider: deterministic hash embeddings, silent
+    completions (so the reference query expander falls back to its static
+    attribute paraphrases — deterministic, LLM-free on both sides)."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = int(dim)
+        self.kwargs = {"embed_model": f"hash-embed-{dim}"}
+
+    def complete(self, model: Any = None, prompt: str = "", require: Any = None,
+                 **kw: Any) -> str:
+        return ""
+
+    def embed(self, model: Any = None, texts: Optional[Sequence[str]] = None,
+              require: Any = None, **kw: Any) -> List[List[float]]:
+        from ..models.hash_embed import hash_embed_numpy
+
+        return [v.tolist() for v in hash_embed_numpy(list(texts or []),
+                                                     dim=self.dim)]
+
+
+def build_reference_backend(ref: SimpleNamespace, *, docs_path: Path,
+                            graph_root: Path, embed_dim: int = 64,
+                            bm25_pool_k: int = 200, graph_window: int = 2):
+    providers = {"hash_embed": HashEmbedProvider(embed_dim)}
+    policy = {
+        "embedding_provider": "hash_embed",
+        "routes": {"RetrievalAgent": {
+            "query_expand": [{"provider": "hash_embed", "model": "static"}],
+        }},
+        "default": [],
+    }
+    router = ref.router_mod.LLMRouter(providers, policy, sink=None)
+    return ref.backend_mod.HybridRetrievalBackend(
+        router=router,
+        sink=None,
+        index_path=str(docs_path),
+        graph_root=str(graph_root),
+        bm25_pool_k=bm25_pool_k,
+        graph_window=graph_window,
+    )
+
+
+# ---------------- shared metric layer ----------------
+
+
+def canonical_sent_key(hit_id: str) -> Optional[Tuple[str, str]]:
+    """``sent::<doc>::<sid>`` -> (title, sid), canonicalizing the
+    reference's alternative spellings generously:
+
+    - dense-channel entries keep the raw doc id, ``sent::<title>#<sid>::…``
+      (retrieval_backend.py:283-296 keys norm_dense by raw BM25 ids);
+    - ``sent_id=0`` serializes as an EMPTY sid everywhere — the reference's
+      ``meta.get("sent_id") or meta.get("sid")`` treats 0 as falsy
+      (retrieval_backend.py:287, text_index searcher ``str(... or "")``).
+    """
+    parts = (hit_id or "").split("::")
+    if len(parts) < 3 or parts[0] != "sent":
+        return None
+    doc, sid = "::".join(parts[1:-1]), parts[-1]
+    if "#" in doc:
+        base, _, tail = doc.rpartition("#")
+        if tail.isdigit() and (sid == "" or tail == sid):
+            doc, sid = base, tail
+    if sid == "":
+        sid = "0"  # the only sent_id the reference renders as empty
+    if not sid.isdigit():
+        return None
+    return (doc, sid)
+
+
+def gold_keys(sample: Dict[str, Any]) -> List[Tuple[str, str]]:
+    return [(str(t), str(s)) for t, s in sample.get("supporting_facts", [])]
+
+
+def score_hits(hit_ids: Sequence[str], sample: Dict[str, Any], k: int
+               ) -> Tuple[float, float]:
+    """(recall@k, reciprocal rank) with id canonicalization + dedup."""
+    seen, retrieved = set(), []
+    for hid in hit_ids:
+        key = canonical_sent_key(str(hid))
+        if key is not None and key not in seen:
+            seen.add(key)
+            retrieved.append(key)
+    gold = gold_keys(sample)
+    return recall_at_k(retrieved, gold, k), mrr(retrieved, gold)
+
+
+# ---------------- evaluation drivers ----------------
+
+
+def run_reference_eval(ref: SimpleNamespace, samples: List[Dict[str, Any]],
+                       *, docs_path: Path, graph_root: Path, k: int = 10,
+                       embed_dim: int = 64) -> Dict[str, Any]:
+    t0 = time.time()
+    backend = build_reference_backend(ref, docs_path=docs_path,
+                                      graph_root=graph_root,
+                                      embed_dim=embed_dim)
+    index_build_sec = time.time() - t0
+
+    # raw: score the reference's top-k exactly as returned (its dense
+    # channel spends slots on duplicate id spellings — that's its measured
+    # behavior). repaired: ask for 2k hits and dedup before scoring, the
+    # most generous reading of the reference's intent (the bar the round-1
+    # reimplementation silently measured).
+    recalls, rrs, rep_recalls, rep_rrs, lat = [], [], [], [], []
+    for s in samples:
+        req = ref.dto.RetrievalIn(
+            query=s["question"],
+            graph_id=f"hotpotqa-{s['_id']}",
+            top_k=2 * max(k, 10),
+            trace_id=f"ref-{s['_id']}",
+        )
+        q0 = time.time()
+        out = backend.retrieve(req)
+        lat.append(time.time() - q0)
+        hit_ids = [h.id for h in out.hits]
+        raw_unique_prefix: List[str] = []
+        seen = set()
+        for hid in hit_ids[:k]:
+            key = canonical_sent_key(hid)
+            if key is not None and key not in seen:
+                seen.add(key)
+                raw_unique_prefix.append(hid)
+        r, rr = score_hits(raw_unique_prefix, s, k)
+        recalls.append(r)
+        rrs.append(rr)
+        rep_r, rep_rr = score_hits(hit_ids, s, k)
+        rep_recalls.append(rep_r)
+        rep_rrs.append(rep_rr)
+
+    total = float(np.sum(lat))
+    return {
+        "system": "reference",
+        "n": len(samples),
+        f"recall_at_{k}": float(np.mean(recalls)) if recalls else 0.0,
+        "mrr": float(np.mean(rrs)) if rrs else 0.0,
+        f"repaired_recall_at_{k}": (float(np.mean(rep_recalls))
+                                    if rep_recalls else 0.0),
+        "repaired_mrr": float(np.mean(rep_rrs)) if rep_rrs else 0.0,
+        "qps": round(len(samples) / total, 3) if total else 0.0,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2) if lat else 0.0,
+        "index_build_sec": round(index_build_sec, 3),
+    }
+
+
+def run_engine_eval(samples: List[Dict[str, Any]], *, docs_path: Path,
+                    graph_root: Path, k: int = 10, embed_dim: int = 64,
+                    batch_size: int = 256) -> Dict[str, Any]:
+    from ..modules.retrieval.tpu_backend import TPUHybridRetrievalBackend
+    from ..core.dto import RetrievalIn
+    from ..core.llm_router import LLMRouter
+    from ..core.providers.mock_provider import MockProvider
+
+    router = LLMRouter({"mock": MockProvider(embed_dim=embed_dim)},
+                       {"default": [{"provider": "mock", "model": "mock"}],
+                        "embedding_provider": "mock"})
+    t0 = time.time()
+    backend = TPUHybridRetrievalBackend(
+        router=router, index_path=str(docs_path), graph_root=str(graph_root),
+        embed_dim=embed_dim,
+    )
+    index_build_sec = time.time() - t0
+
+    # warm-up: compile the per-question program shapes (B=1 + seeds +
+    # multihop) and the batched bucket, so timings measure steady-state
+    # serving rather than XLA compilation
+    warm = RetrievalIn(query=samples[0]["question"],
+                       graph_id=f"hotpotqa-{samples[0]['_id']}",
+                       top_k=max(k, 10), trace_id="warmup")
+    backend.retrieve(warm)
+    backend.engine.query_batch(
+        [s["question"] for s in samples[:batch_size]], top_k=max(k, 10))
+
+    # per-question module path (expansion + graph seeds + iterative hop-2) —
+    # the same surface as the reference's backend.retrieve
+    recalls, rrs, lat = [], [], []
+    for s in samples:
+        req = RetrievalIn(query=s["question"],
+                          graph_id=f"hotpotqa-{s['_id']}",
+                          top_k=max(k, 10), trace_id=f"tpu-{s['_id']}")
+        q0 = time.time()
+        out = backend.retrieve(req)
+        lat.append(time.time() - q0)
+        r, rr = score_hits([h.id for h in out.hits], s, k)
+        recalls.append(r)
+        rrs.append(rr)
+
+    # batched engine path — the serving-throughput configuration
+    engine = backend.engine
+    questions = [s["question"] for s in samples]
+    bt = 0.0
+    batch_recalls: List[float] = []
+    for start in range(0, len(questions), batch_size):
+        chunk = questions[start : start + batch_size]
+        b0 = time.time()
+        result = engine.query_batch(chunk, top_k=max(k, 10))
+        bt += time.time() - b0
+        ids = np.asarray(result.hits.ids)
+        for row, s in enumerate(samples[start : start + batch_size]):
+            got = [engine.index.corpus.hit_id(int(i)) for i in ids[row]
+                   if i >= 0]
+            r, _ = score_hits(got, s, k)
+            batch_recalls.append(r)
+
+    total = float(np.sum(lat))
+    import jax
+
+    return {
+        "system": "tpu_engine",
+        "backend": jax.default_backend(),
+        "n": len(samples),
+        f"recall_at_{k}": float(np.mean(recalls)) if recalls else 0.0,
+        "mrr": float(np.mean(rrs)) if rrs else 0.0,
+        "qps": round(len(samples) / total, 3) if total else 0.0,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2) if lat else 0.0,
+        f"batched_recall_at_{k}": (float(np.mean(batch_recalls))
+                                   if batch_recalls else 0.0),
+        "batched_qps": round(len(questions) / bt, 1) if bt else 0.0,
+        "index_build_sec": round(index_build_sec, 3),
+    }
+
+
+# ---------------- orchestration ----------------
+
+
+def run_baseline(*, n_samples: int = 800, n_questions: int = 200,
+                 k: int = 10, seed: int = 31, embed_dim: int = 64,
+                 input_path: Optional[str] = None,
+                 workdir: str = "data/baseline_measured",
+                 reference_root: str = DEFAULT_REFERENCE_ROOT,
+                 skip_engine: bool = False,
+                 variety: bool = True) -> Dict[str, Any]:
+    ref = import_reference(reference_root)
+    wd = Path(workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+
+    if input_path:
+        data = json.loads(Path(input_path).read_text(encoding="utf-8"))
+        samples = data[:n_samples]
+        dataset = {"type": "hotpotqa", "path": str(input_path)}
+    else:
+        samples = SyntheticHotpotQALoader({
+            "count": n_samples, "seed": seed,
+            "unique_entities": True, "variety": variety,
+        }).load()
+        dataset = {"type": ("synthetic_hotpotqa_variety" if variety
+                            else "synthetic_hotpotqa"),
+                   "seed": seed,
+                   "note": ("real HotpotQA unavailable: environment has no "
+                            "network and no local copy")}
+    dataset_file = wd / "dataset.json"
+    dataset_file.write_text(json.dumps(samples), encoding="utf-8")
+    questions = samples[:n_questions]
+
+    # reference ingest (its own code), timed
+    ref_dir = wd / "reference"
+    ref_docs = ref_dir / "docs.jsonl"
+    ref_graphs = ref_dir / "graph"
+    t0 = time.time()
+    ref.ingest_mod.ingest(dataset_file, ref_graphs, ref_docs,
+                          limit=len(samples))
+    ref_ingest_sec = time.time() - t0
+
+    reference = run_reference_eval(ref, questions, docs_path=ref_docs,
+                                   graph_root=ref_graphs, k=k,
+                                   embed_dim=embed_dim)
+    reference["ingest_sec"] = round(ref_ingest_sec, 2)
+
+    result: Dict[str, Any] = {
+        "dataset": {**dataset, "samples": len(samples),
+                    "questions": len(questions),
+                    "sentences": sum(len(se) for s in samples
+                                     for _, se in s["context"])},
+        "k": k,
+        "embed_dim": embed_dim,
+        "reference": reference,
+    }
+
+    if not skip_engine:
+        from ..cli.ingest_hotpotqa import ingest as tpu_ingest
+
+        tpu_dir = wd / "tpu"
+        tpu_docs = tpu_dir / "docs.jsonl"
+        tpu_graphs = tpu_dir / "graph"
+        t0 = time.time()
+        tpu_ingest(samples, graph_root=tpu_graphs, docs_out=tpu_docs,
+                   embed_dim=embed_dim)
+        tpu_ingest_sec = time.time() - t0
+
+        engine = run_engine_eval(questions, docs_path=tpu_docs,
+                                 graph_root=tpu_graphs, k=k,
+                                 embed_dim=embed_dim)
+        engine["ingest_sec"] = round(tpu_ingest_sec, 2)
+        result["tpu_engine"] = engine
+        rk = f"recall_at_{k}"
+        if reference[rk] > 0:
+            result["recall_ratio_vs_raw"] = round(engine[rk] / reference[rk], 4)
+        if reference.get(f"repaired_{rk}", 0) > 0:
+            # the bar that matters: engine vs the most generous reading of
+            # the reference (duplicate-id fusion repaired)
+            result["recall_ratio"] = round(
+                engine[rk] / reference[f"repaired_{rk}"], 4)
+        result["qps_ratio"] = round(engine["batched_qps"] / reference["qps"], 1)
+    return result
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    ap = argparse.ArgumentParser(
+        description="Measure the reference pipeline vs the TPU engine on a "
+                    "shared dataset")
+    ap.add_argument("--samples", type=int, default=800)
+    ap.add_argument("--questions", type=int, default=200)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=31)
+    ap.add_argument("--embed_dim", type=int, default=64)
+    ap.add_argument("--input", type=str, default=None,
+                    help="real HotpotQA JSON (used when available)")
+    ap.add_argument("--workdir", type=str, default="data/baseline_measured")
+    ap.add_argument("--reference_root", type=str,
+                    default=DEFAULT_REFERENCE_ROOT)
+    ap.add_argument("--skip_engine", action="store_true")
+    ap.add_argument("--no_variety", action="store_true",
+                    help="plain template corpus (round-1 continuity)")
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args(argv)
+
+    result = run_baseline(
+        n_samples=args.samples, n_questions=args.questions, k=args.k,
+        seed=args.seed, embed_dim=args.embed_dim, input_path=args.input,
+        workdir=args.workdir, reference_root=args.reference_root,
+        skip_engine=args.skip_engine, variety=not args.no_variety,
+    )
+    text = json.dumps(result, indent=2)
+    print(text)
+    if args.out:
+        Path(args.out).write_text(text, encoding="utf-8")
+
+
+if __name__ == "__main__":
+    main()

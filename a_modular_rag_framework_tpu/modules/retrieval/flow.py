@@ -85,6 +85,12 @@ class RetrievalAgentFlow:
             if "query_batch_buckets" in kernels_cfg:
                 raw_kwargs.setdefault("batch_buckets",
                                       kernels_cfg["query_batch_buckets"])
+            # mesh -> sharded hybrid serving (multi-device index sharding)
+            mesh_cfg = settings.get("mesh") or {}
+            if mesh_cfg.get("axes"):
+                raw_kwargs.setdefault("mesh_axes", dict(mesh_cfg["axes"]))
+            if "shard_axis" in index_cfg:
+                raw_kwargs.setdefault("shard_axis", index_cfg["shard_axis"])
             impl_kwargs = filtered_kwargs(
                 impl_cls, raw_kwargs,
                 inject={"router": router, "sink": sink, "engine": engine},

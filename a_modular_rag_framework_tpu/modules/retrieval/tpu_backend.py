@@ -99,6 +99,8 @@ class TPUHybridRetrievalBackend:
         hop_decay: float = 0.5,
         encoder_weights: str = "",
         encoder_layers: int = 2,
+        mesh_axes: Optional[Dict[str, int]] = None,
+        shard_axis: str = "data",
     ):
         self.router = router
         self.sink = sink
@@ -147,8 +149,32 @@ class TPUHybridRetrievalBackend:
                 fusion_impl=fusion_impl,
                 batch_buckets=tuple(batch_buckets),
             )
-            self.engine = TPUQueryEngine(index, encoder=encoder, config=config,
-                                         sink=sink)
+            self.engine = None
+            if mesh_axes:
+                # settings.yaml `mesh:` wiring: when the resolved mesh has
+                # more than one device on the shard axis, serve through the
+                # fully-sharded hybrid engine (BM25 + graph + dense rows
+                # sharded over the axis, SURVEY §2b index-sharding row)
+                from ...parallel.mesh import build_mesh
+                from ...parallel.sharded_hybrid import ShardedHybridEngine
+
+                try:
+                    mesh = build_mesh(dict(mesh_axes))
+                except ValueError as e:
+                    logger.warning("mesh %r unavailable (%s); single-chip",
+                                   mesh_axes, e)
+                    mesh = None
+                if (mesh is not None and shard_axis in mesh.shape
+                        and mesh.shape[shard_axis] > 1):
+                    self.engine = ShardedHybridEngine(
+                        index, mesh=mesh, axis=shard_axis,
+                        encoder=encoder, config=config,
+                    )
+                    logger.info("sharded hybrid engine: %d shards over %r",
+                                self.engine.n_shards, shard_axis)
+            if self.engine is None:
+                self.engine = TPUQueryEngine(index, encoder=encoder,
+                                             config=config, sink=sink)
 
     # ---- per-question graph seeds ----
 

@@ -35,6 +35,111 @@ def minmax_normalize(scores: jax.Array, present: jax.Array) -> jax.Array:
     return jnp.where(ok, normed, jnp.zeros_like(scores))
 
 
+def minmax_rows(v: jax.Array, valid: jax.Array) -> jax.Array:
+    """Row-wise min-max over valid entries; degenerate rows normalize to 0."""
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(valid, v, big), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid, v, -big), axis=1, keepdims=True)
+    span = hi - lo
+    ok = span > 0
+    out = jnp.where(valid, (v - lo) / jnp.where(ok, span, 1.0), 0.0)
+    return jnp.where(ok, out, jnp.zeros_like(out))
+
+
+def fuse_pools_compact(
+    pool_s: jax.Array,       # [B, P] f32 text-pool scores (exact BM25)
+    pool_i: jax.Array,       # [B, P] i32 text-pool global ids
+    pool_valid: jax.Array,   # [B, P] bool
+    dense_pool: jax.Array,   # [B, P] f32 cosine at text-pool ids
+    t_graph_raw: jax.Array,  # [B, P] f32 raw graph score at text-pool ids
+    g_pool_s: jax.Array,     # [B, G] f32 graph-pool scores
+    g_pool_i: jax.Array,     # [B, G] i32 graph-pool global ids
+    g_valid: jax.Array,      # [B, G] bool
+    *,
+    alphas: jax.Array,       # [3] f32 (text, graph, dense)
+    k: int,
+    n: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pool-compact fusion: operates on the P+G candidate union — no [B, N]
+    channel buffers, no scatters (sort-dedup instead).
+
+    Semantics identical to `fuse_channels` over dense buffers: per-channel
+    min-max over each channel's own pool; ids only in the graph pool
+    contribute a_graph * norm_graph alone; ids in the text pool gather
+    their graph value when (and only when) they are graph-pool members.
+
+    Returns (top_s [B, k], top_i [B, k] i32, norms_at [B, 3, k]).
+    Shared by the single-chip engine and the sharded hybrid engine — both
+    run the same fusion bit-for-bit once their pools agree.
+    """
+    B = pool_s.shape[0]
+    big = jnp.float32(1e30)
+    # channel norms over their own pools
+    nt = minmax_rows(pool_s, pool_valid)
+    nd = minmax_rows(dense_pool, pool_valid)
+    ng_pool = minmax_rows(g_pool_s, g_valid)
+    # graph values at text-pool ids, normalized against the graph pool's
+    # min-max iff the id is a graph-pool member (>= the pool's min score)
+    g_lo = jnp.min(jnp.where(g_valid, g_pool_s, big), axis=1, keepdims=True)
+    g_hi = jnp.max(jnp.where(g_valid, g_pool_s, -big), axis=1, keepdims=True)
+    g_span_ok = (g_hi - g_lo) > 0
+    in_gpool = pool_valid & (t_graph_raw > 0) & (t_graph_raw >= g_lo)
+    ng_text = jnp.where(
+        in_gpool & g_span_ok,
+        (t_graph_raw - g_lo) / jnp.where(g_span_ok, g_hi - g_lo, 1.0),
+        0.0,
+    )
+
+    fused_text = alphas[0] * nt + alphas[1] * ng_text + alphas[2] * nd
+    fused_g = alphas[1] * ng_pool
+
+    # union with dedup: sort by (id, text-first); drop non-first entries of
+    # equal ids (a dup is always text+graph for one id)
+    ids_cat = jnp.concatenate([pool_i, g_pool_i], axis=1)
+    flag = jnp.concatenate(
+        [jnp.zeros_like(pool_i), jnp.ones_like(g_pool_i)], axis=1
+    )
+    valid_cat = jnp.concatenate([pool_valid, g_valid], axis=1)
+    fused_cat = jnp.concatenate([fused_text, fused_g], axis=1)
+    nt_cat = jnp.concatenate([nt, jnp.zeros_like(ng_pool)], axis=1)
+    ng_cat = jnp.concatenate([ng_text, ng_pool], axis=1)
+    nd_cat = jnp.concatenate([nd, jnp.zeros_like(ng_pool)], axis=1)
+
+    sort_ids = jnp.where(valid_cat, ids_cat, n + 1)
+    # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit
+    key = sort_ids * 2 + flag
+    order = jnp.argsort(key, axis=1)
+
+    def pick(x):
+        return jnp.take_along_axis(x, order, axis=1)
+
+    ids_s, flag_s = pick(sort_ids), pick(flag)
+    fused_s = pick(fused_cat)
+    nt_s, ng_s, nd_s = pick(nt_cat), pick(ng_cat), pick(nd_cat)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=jnp.bool_),
+         ids_s[:, 1:] == ids_s[:, :-1]], axis=1,
+    )
+    alive = (ids_s <= n - 1 if n else ids_s < 0) & (~dup)
+    fused_m = jnp.where(alive, fused_s, NEG_INF)
+
+    top_s, pos = jax.lax.top_k(fused_m, min(k, fused_m.shape[1]))
+    ok = top_s > NEG_INF / 2
+    top_i = jnp.where(ok, jnp.take_along_axis(ids_s, pos, axis=1), -1)
+    top_s = jnp.where(ok, top_s, 0.0)
+    norms_at = jnp.stack(
+        [jnp.take_along_axis(nt_s, pos, axis=1),
+         jnp.take_along_axis(ng_s, pos, axis=1),
+         jnp.take_along_axis(nd_s, pos, axis=1)], axis=1,
+    )  # [B, 3, k]
+    pad_k = k - top_s.shape[1]
+    if pad_k > 0:
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad_k)))
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad_k)), constant_values=-1)
+        norms_at = jnp.pad(norms_at, ((0, 0), (0, 0), (0, pad_k)))
+    return top_s, top_i.astype(jnp.int32), norms_at
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def fuse_channels(
     channel_scores: jax.Array,  # [C, N] f32
