@@ -21,7 +21,9 @@ import numpy as np
 
 
 def build_pairs(samples) -> Tuple[List[str], List[str]]:
-    """(question, first supporting-fact sentence) training pairs."""
+    """(question, supporting-fact sentence) pairs — one pair per
+    supporting fact, so the encoder sees both the bridge sentence and the
+    answer-bearing sentence of each multi-hop chain."""
     queries, passages = [], []
     for s in samples:
         ctx = {t: sents for t, sents in s.get("context", [])}
@@ -30,8 +32,28 @@ def build_pairs(samples) -> Tuple[List[str], List[str]]:
             if 0 <= sid < len(sents):
                 queries.append(s["question"])
                 passages.append(sents[sid])
-                break
     return queries, passages
+
+
+def evaluate_encoder(samples, encoder, embed_dim: int) -> Dict[str, float]:
+    """Held-out retrieval quality: build a fresh index over ``samples``
+    with the given encoder (None = hash baseline) and run the full hybrid
+    engine over their questions."""
+    from ..engine.query_engine import EngineConfig, TPUQueryEngine
+    from ..eval.harness import evaluate_retrieval
+    from ..index.builder import build_packed_index
+    from ..index.corpus import SentenceCorpus
+
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    idx = build_packed_index(corpus, encoder=encoder,
+                             embed_dim=embed_dim, embed_dtype="float32")
+    engine = TPUQueryEngine(
+        idx, encoder=encoder,
+        config=EngineConfig(top_k=10, pool_k=200, graph_window=2,
+                            batch_buckets=(64,)),
+    )
+    q = evaluate_retrieval(engine, samples, k=10, batch_size=64)
+    return {"recall_at_10": q["recall_at_10"], "mrr": q["mrr"]}
 
 
 def main(argv=None) -> None:
@@ -45,6 +67,11 @@ def main(argv=None) -> None:
     ap.add_argument("--n_layers", type=int, default=2)
     ap.add_argument("--out", type=str, default="data/encoder.npz")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variety", action="store_true",
+                    help="train on the harder variety-template corpus")
+    ap.add_argument("--eval_samples", type=int, default=0,
+                    help="held-out samples for a hash-vs-trained recall "
+                         "comparison after training")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,11 +87,19 @@ def main(argv=None) -> None:
 
     if args.input:
         samples = json.loads(Path(args.input).read_text(encoding="utf-8"))
+        held_out = samples[len(samples) - args.eval_samples:] \
+            if args.eval_samples else []
+        samples = samples[: len(samples) - len(held_out)]
     else:
         samples = SyntheticHotpotQALoader(
             {"count": args.synthetic, "seed": args.seed,
-             "unique_entities": True}
+             "unique_entities": True, "variety": args.variety}
         ).load()
+        held_out = SyntheticHotpotQALoader(
+            {"count": args.eval_samples, "seed": args.seed + 1,
+             "index": args.synthetic, "unique_entities": True,
+             "variety": args.variety}
+        ).load() if args.eval_samples else []
     queries, passages = build_pairs(samples)
     print(f"training pairs: {len(queries)}")
 
@@ -90,12 +125,20 @@ def main(argv=None) -> None:
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    TextEncoder(cfg, params=params).save(str(out))
-    print(json.dumps({"steps": args.steps, "pairs": n,
-                      "final_loss": float(metrics["loss"]),
-                      "final_acc": float(metrics["accuracy"]),
-                      "train_sec": round(total, 1),
-                      "out": str(out)}))
+    trained = TextEncoder(cfg, params=params)
+    trained.save(str(out))
+    report = {"steps": args.steps, "pairs": n,
+              "final_loss": float(metrics["loss"]),
+              "final_acc": float(metrics["accuracy"]),
+              "train_sec": round(total, 1),
+              "out": str(out)}
+    if held_out:
+        report["held_out"] = {
+            "n": len(held_out),
+            "hash": evaluate_encoder(held_out, None, cfg.d_model),
+            "trained": evaluate_encoder(held_out, trained, cfg.d_model),
+        }
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

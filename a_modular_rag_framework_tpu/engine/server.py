@@ -28,6 +28,16 @@ class _Request:
     future: Future = field(default_factory=Future)
 
 
+class _Resolved:
+    """Adapter giving already-computed results the PendingQuery surface."""
+
+    def __init__(self, result: Any):
+        self._result = result
+
+    def result(self) -> Any:
+        return self._result
+
+
 class QueryServer:
     """Thread-safe micro-batching wrapper around `TPUQueryEngine`.
 
@@ -122,10 +132,32 @@ class QueryServer:
                 break
         return batch
 
+    def _finish(self, pending: Any, reqs: List[_Request]) -> None:
+        try:
+            result = pending.result()
+            for i, r in enumerate(reqs):
+                r.future.set_result(self.engine.hydrate_hits(result, i))
+            self.stats["batches"] += 1
+            self.stats["queries"] += len(reqs)
+            self.stats["batch_sizes"].append(len(reqs))
+        except Exception as e:  # pragma: no cover
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
     def _loop(self) -> None:
+        import collections
+
+        # keep one batch in flight: dispatch group i+1 before fetching
+        # group i's results, so host hydration overlaps device execution
+        # (engines without query_batch_async resolve synchronously)
+        dispatch_async = getattr(self.engine, "query_batch_async", None)
+        inflight: "collections.deque" = collections.deque()
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
+                while inflight:
+                    self._finish(*inflight.popleft())
                 continue
             # requests sharing (top_k, window, seed-mode) can share a program;
             # group to keep shapes uniform
@@ -134,22 +166,26 @@ class QueryServer:
                 key = (r.top_k, r.graph_window, r.seed_rows is not None)
                 groups.setdefault(key, []).append(r)
             for (top_k, window, has_seeds), reqs in groups.items():
+                kwargs = dict(
+                    expansions=[list(r.expansions or []) for r in reqs],
+                    seed_rows=([list(r.seed_rows or []) for r in reqs]
+                               if has_seeds else None),
+                    top_k=top_k,
+                    graph_window=window,
+                )
+                queries = [r.query for r in reqs]
                 try:
-                    result = self.engine.query_batch(
-                        [r.query for r in reqs],
-                        expansions=[list(r.expansions or []) for r in reqs],
-                        seed_rows=([list(r.seed_rows or []) for r in reqs]
-                                   if has_seeds else None),
-                        top_k=top_k,
-                        graph_window=window,
-                    )
-                    for i, r in enumerate(reqs):
-                        hits = self.engine.hydrate_hits(result, i)
-                        r.future.set_result(hits)
-                    self.stats["batches"] += 1
-                    self.stats["queries"] += len(reqs)
-                    self.stats["batch_sizes"].append(len(reqs))
+                    if dispatch_async is not None:
+                        inflight.append((dispatch_async(queries, **kwargs),
+                                         reqs))
+                    else:
+                        result = self.engine.query_batch(queries, **kwargs)
+                        self._finish(_Resolved(result), reqs)
                 except Exception as e:  # pragma: no cover
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
+                while len(inflight) > 1:
+                    self._finish(*inflight.popleft())
+        while inflight:
+            self._finish(*inflight.popleft())

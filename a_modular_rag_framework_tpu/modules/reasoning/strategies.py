@@ -45,48 +45,36 @@ def normalize_answer(s: str) -> str:
 
 
 def coerce_text(out: Any) -> str:
-    """Collapse assorted provider output shapes to a string."""
-    if out is None:
-        return ""
-    if isinstance(out, str):
-        return out
-    if isinstance(out, dict):
-        t = out.get("text")
-        if isinstance(t, str):
-            return t
-        if isinstance(t, dict):
-            if isinstance(t.get("text"), str):
-                return t["text"]
-            c = t.get("content")
-            if isinstance(c, str):
-                return c
-            if isinstance(c, list):
-                for item in c:
-                    if isinstance(item, dict) and isinstance(item.get("text"), str):
-                        return item["text"]
-        msg = out.get("message")
-        if isinstance(msg, dict):
-            c = msg.get("content")
-            if isinstance(c, str):
-                return c
-            if isinstance(c, list):
-                for item in c:
-                    if (isinstance(item, dict) and item.get("type") == "text"
-                            and isinstance(item.get("text"), str)):
-                        return item["text"]
-        choices = out.get("choices")
-        if isinstance(choices, list) and choices and isinstance(choices[0], dict):
-            ch = choices[0]
-            if isinstance(ch.get("text"), str):
-                return ch["text"]
-            for key in ("message", "delta"):
-                m = ch.get(key)
-                if isinstance(m, dict) and isinstance(m.get("content"), str):
-                    return m["content"]
-        for key in ("output_text", "data"):
-            if isinstance(out.get(key), str):
-                return out[key]
-    return ""
+    """Collapse assorted provider output shapes to a string.
+
+    Providers in this framework return ``{"text": str}`` (core/providers),
+    but the adapter seam tolerates OpenAI-style nests too
+    (choices[0].message.content etc). Rather than enumerate every shape by
+    hand, run a small depth-bounded first-string search under text-ish
+    keys, preferring ``text``/``content`` over wrapper keys."""
+    keys = ("text", "content", "output_text", "data",
+            "message", "delta", "choices")
+
+    def find(node: Any, depth: int) -> Any:
+        if isinstance(node, str):
+            return node
+        if depth <= 0:
+            return None
+        if isinstance(node, dict):
+            for k in keys:
+                if k in node:
+                    got = find(node[k], depth - 1)
+                    if isinstance(got, str):
+                        return got
+        elif isinstance(node, list):
+            for item in node[:4]:
+                got = find(item, depth - 1)
+                if isinstance(got, str):
+                    return got
+        return None
+
+    got = find(out, 4)
+    return got if isinstance(got, str) else ""
 
 
 # ---- hit helpers ----

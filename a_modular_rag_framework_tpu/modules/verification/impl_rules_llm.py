@@ -209,20 +209,22 @@ class VerifierAgentRulesLLM:
     def _fact_check_once(self, question: str, answer: str, evidence: List[Hit],
                          trace_id: str) -> Tuple[float, Dict[str, Any]]:
         instructions = (
-            "You are a strict but fair fact-checker.\n"
-            "- Judge only using the GIVEN citations.\n"
-            "- Extract CORE facts vs SECONDARY facts from the answer.\n"
-            "- Partition citations: valid_citations (supportive), "
-            "noisy_citations (irrelevant), misleading_citations "
-            "(irrelevant AND contradicting).\n"
-            "- Facts not mentioned by evidence -> \"unsupported\"; facts "
-            "implied indirectly -> \"indirect\"; \"contradicted\" ONLY when "
-            "evidence explicitly states the opposite.\n"
-            "- FAIL only if CORE facts are explicitly contradicted.\n"
-            "Return pure JSON with fields: core_facts, secondary_facts, "
-            "facts {core:[{fact,status}], secondary:[...]}, valid_citations, "
-            "noisy_citations, misleading_citations, "
-            "verdict (supported|partial|refuted|insufficient), score (0..1).\n"
+            "Fact-check the answer below against its citations and nothing "
+            "else. Classify each fact the answer asserts as one of: "
+            "supported, indirect (implied but not stated), unsupported "
+            "(absent from the citations), or contradicted (a citation "
+            "states the opposite — use this label only for explicit "
+            "conflicts). Split the facts into core (needed to answer the "
+            "question) and secondary. Sort the citation numbers into "
+            "valid_citations / noisy_citations / misleading_citations "
+            "(noisy = off-topic, misleading = off-topic and contradicting). "
+            "An answer fails verification only when a core fact is "
+            "contradicted.\n"
+            "Respond with JSON only, shaped as: {core_facts, "
+            "secondary_facts, facts: {core: [{fact, status}], secondary: "
+            "[...]}, valid_citations, noisy_citations, "
+            "misleading_citations, verdict: "
+            "supported|partial|refuted|insufficient, score: 0..1}.\n"
         )
         prompt = (
             f"{instructions}\nQuestion:\n{question}\n\nAnswer:\n{answer}\n\n"

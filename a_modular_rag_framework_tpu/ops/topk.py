@@ -86,13 +86,17 @@ def _iterative_topk(scores: jax.Array, ids: jax.Array, k: int) -> Tuple[jax.Arra
 
 
 def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile_n: int, n_valid: int, precision=None):
-    """One corpus tile: scores = q @ tile^T, merge into running top-k scratch.
+    """One (batch tile, corpus tile) step: scores = q_tile @ d_tile^T,
+    merged into the running top-k scratch.
 
-    Grid is 1-D over corpus tiles and executes sequentially on a TPU core,
-    so scratch accumulates across steps; results are flushed on the last.
+    Grid is (batch tiles, corpus tiles); the corpus dimension is the fast
+    axis and executes sequentially on a TPU core, so scratch accumulates
+    across corpus tiles and flushes on the last one, then resets when the
+    batch tile advances. Batch tiling keeps the concat+iterative-top-k
+    working set ([tile_b, k + tile_n]) inside scoped VMEM at any B.
     """
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
@@ -123,15 +127,18 @@ def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, ti
         out_i_ref[:] = run_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "precision"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_b", "precision"))
 def dense_topk_pallas(
-    q: jax.Array, d: jax.Array, k: int, tile_n: int = 1024, precision=None
+    q: jax.Array, d: jax.Array, k: int, tile_n: int = 1024,
+    tile_b: int = 256, precision=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused matmul+top-k without materializing [B, N] scores in HBM.
 
     Pads N up to a tile multiple; padded rows are masked to NEG_INF inside
     the kernel (by global row id), so they can never beat real candidates —
-    including real candidates with negative inner products.
+    including real candidates with negative inner products. Batch is tiled
+    too (``tile_b``) so the in-kernel merge buffer stays inside VMEM for
+    arbitrarily large B.
     """
     B, dim = q.shape
     N = d.shape[0]
@@ -141,28 +148,40 @@ def dense_topk_pallas(
     if n_pad:
         d = jnp.concatenate([d, jnp.zeros((n_pad, dim), dtype=d.dtype)], axis=0)
     n_tiles = d.shape[0] // tile_n
+    tile_b = min(tile_b, B)
+    b_pad = (-B) % tile_b
+    if b_pad:
+        q = jnp.concatenate([q, jnp.zeros((b_pad, dim), dtype=q.dtype)], axis=0)
+    b_tiles = q.shape[0] // tile_b
 
     out_s, out_i = pl.pallas_call(
         functools.partial(_topk_kernel, k=k, tile_n=tile_n, n_valid=N,
                           precision=precision),
-        grid=(n_tiles,),
+        grid=(b_tiles, n_tiles),
         in_specs=[
-            pl.BlockSpec((B, dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, dim), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, dim), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda b, t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, k), jnp.float32),
-            pltpu.VMEM((B, k), jnp.int32),
+            pltpu.VMEM((tile_b, k), jnp.float32),
+            pltpu.VMEM((tile_b, k), jnp.int32),
         ],
     )(q, d)
+    if b_pad:
+        out_s = out_s[:B]
+        out_i = out_i[:B]
 
     # belt-and-braces: padded rows already scored NEG_INF in-kernel
     valid = out_i < N
