@@ -149,8 +149,13 @@ class MockProvider:
                 if any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
             )
 
-        # hop-1 candidates: every citation naming a question entity
+        # hop-1 candidates: every citation naming a question entity,
+        # strongest (full-phrase) matches first — a citation that merely
+        # shares a first-name token must not anchor the chain ahead of one
+        # naming the full question entity (ties in pair scoring resolve to
+        # the first anchor processed)
         h1s = [(k, t) for k, t in cites if ent_score(t, q_ents) > 0]
+        h1s.sort(key=lambda kt: -ent_score(kt[1], q_ents))
         if not h1s:
             h1s = [max(cites, key=lambda kt: len(q_words & set(_tokenize(kt[1]))))]
 

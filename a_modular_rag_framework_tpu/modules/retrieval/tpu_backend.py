@@ -115,6 +115,7 @@ class TPUHybridRetrievalBackend:
         self.hop_decay = float(hop_decay)
 
         self.expander = LLMQueryExpander(router, qe_lines, qe_attr_paraphrase)
+        self._ephemeral_cache: Dict[str, TPUQueryEngine] = {}
 
         if encoder is None and encoder_weights:
             # learned TextEncoder (trained by cli/train_encoder). Held-out on
@@ -178,18 +179,20 @@ class TPUHybridRetrievalBackend:
 
     # ---- per-question graph seeds ----
 
-    def _graph_seed_rows(self, graph_id: str) -> Optional[List[int]]:
+    def _graph_seed_rows(self, graph_id: str, engine=None) -> Optional[List[int]]:
         """Map the per-question graph's q_match sentence nodes to corpus rows.
 
         Sentence node ids are ``{doc}::sent{j}``; the corpus row is looked
-        up by (doc title, sent_id). Returns None when no graph is available
-        (the engine then derives weighted BM25 seeds)."""
+        up by (doc title, sent_id) against the serving engine's corpus
+        (the ephemeral graph-sentence corpus in fallback mode). Returns
+        None when no graph is available (the engine then derives weighted
+        BM25 seeds)."""
         if not graph_id:
             return None
         gdir = Path(self.graph_root) / graph_id
         adj = gdir / "adjacency.npz"
         rows: List[int] = []
-        by = self.engine.index.corpus.row_by_title_sid()
+        by = (engine or self.engine).index.corpus.row_by_title_sid()
         try:
             if adj.exists():
                 data = np.load(adj, allow_pickle=False)
@@ -224,6 +227,62 @@ class TPUHybridRetrievalBackend:
         except ValueError:
             return None
 
+    # ---- empty-corpus fallback: per-question graph as the corpus ----
+
+    def _ephemeral_engine(self, graph_id: str):
+        """When no corpus was ever ingested (index empty), the per-question
+        graph built moments earlier from the question's context IS the
+        available evidence — serve retrieval from its sentence nodes via a
+        small throwaway engine (the reference in the same situation
+        returned nothing, BM25LiteIndex over a missing docs.jsonl).
+        Cached per graph_id (bounded)."""
+        if not graph_id:
+            return None
+        cached = self._ephemeral_cache.get(graph_id)
+        if cached is not None:
+            return cached
+        gj = Path(self.graph_root) / graph_id / "graph.json"
+        if not gj.exists():
+            return None
+        try:
+            g = json.loads(gj.read_text(encoding="utf-8"))
+        except Exception:
+            return None
+        docs = []
+        for nd in g.get("nodes", []):
+            if nd.get("type") == "sentence" and nd.get("text"):
+                nid = str(nd.get("id") or "")
+                doc, _, sid = nid.rpartition("::sent")
+                try:
+                    sid_i = int(sid)
+                except ValueError:
+                    continue
+                docs.append({"doc_id": f"{doc}#{sid_i}", "title": doc,
+                             "sent_id": sid_i, "text": nd["text"]})
+        if not docs:
+            return None
+        corpus = SentenceCorpus(docs=docs)
+        base = self.engine.config
+        idx = build_packed_index(
+            corpus, encoder=self.engine.encoder,
+            embed_dim=self.engine.index.embed_dim or 64,
+            embed_dtype="float32",
+        )
+        eng = TPUQueryEngine(
+            idx, encoder=self.engine.encoder,
+            config=EngineConfig(
+                top_k=base.top_k, pool_k=min(base.pool_k, idx.n_docs),
+                graph_window=base.graph_window,
+                alpha_text=base.alpha_text, alpha_graph=base.alpha_graph,
+                alpha_dense=base.alpha_dense, batch_buckets=(1, 8),
+            ),
+            sink=self.sink,
+        )
+        if len(self._ephemeral_cache) >= 8:
+            self._ephemeral_cache.pop(next(iter(self._ephemeral_cache)))
+        self._ephemeral_cache[graph_id] = eng
+        return eng
+
     # ---- main ----
 
     def run(self, req: RetrievalIn) -> Dict[str, Any]:
@@ -234,8 +293,16 @@ class TPUHybridRetrievalBackend:
             expanded = self.expander.expand(query=req.query, trace_id=trace_id)
             queries = [req.query] + expanded
 
+        engine = self.engine
+        fallback = None
+        if getattr(engine, "_n", engine.index.n_docs) == 0:
+            eph = self._ephemeral_engine(req.graph_id or "")
+            if eph is not None:
+                engine = eph
+                fallback = "graph_sentences"
+
         with span("Backend/GraphSeeds", self.sink, trace_id):
-            seeds = self._graph_seed_rows(req.graph_id or "")
+            seeds = self._graph_seed_rows(req.graph_id or "", engine=engine)
 
         gw = req.graph_window if isinstance(req.graph_window, int) else None
         window = gw if gw is not None else self.graph_window
@@ -244,7 +311,7 @@ class TPUHybridRetrievalBackend:
                 from .multihop import iterative_retrieve
 
                 ids, scores, norms, diag = iterative_retrieve(
-                    self.engine, [req.query],
+                    engine, [req.query],
                     top_k=top_k,
                     hop_decay=self.hop_decay,
                     expansions=[expanded],
@@ -261,7 +328,7 @@ class TPUHybridRetrievalBackend:
                     diagnostics=diag,
                 )
             else:
-                result = self.engine.query_batch(
+                result = engine.query_batch(
                     [req.query],
                     expansions=[expanded],
                     seed_rows=[seeds] if seeds is not None else None,
@@ -269,11 +336,12 @@ class TPUHybridRetrievalBackend:
                     graph_window=window,
                     trace_id=trace_id,
                 )
-            hits = self.engine.hydrate_hits(result, 0)
+            hits = engine.hydrate_hits(result, 0)
 
         diagnostics = {
             "queries": queries,
             **result.diagnostics,
+            **({"fallback": fallback} if fallback else {}),
             "seed_mode": "qmatch" if seeds is not None else "bm25_weighted",
             "seed_count": len(seeds) if seeds else 0,
             "resolved_embed_model": (

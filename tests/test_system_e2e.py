@@ -6,6 +6,8 @@ from pathlib import Path
 import pytest
 import yaml
 
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
 from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
 from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
 from a_modular_rag_framework_tpu.system import answer_question, init_system, reset_system_cache
@@ -107,3 +109,21 @@ def test_init_system_cache(env):
     wf1, sink1 = init_system(env["settings"], runs_dir=env["runs"])
     wf2, sink2 = init_system(env["settings"], runs_dir=env["runs"])
     assert wf1 is wf2 and sink1 is sink2
+
+
+def test_answer_question_without_ingested_corpus(tmp_path, monkeypatch):
+    """Out-of-box drive: with NO ingested corpus the retrieval backend
+    falls back to the per-question graph's sentence nodes and the system
+    still answers correctly (the reference returned nothing here)."""
+    monkeypatch.chdir(tmp_path)
+    from a_modular_rag_framework_tpu.system import answer_question
+
+    res = answer_question(
+        "In which city was the collaborator of Sage Silverton born?",
+        mode="full",
+        settings_path=str(REPO_ROOT / "config" / "settings.yaml"),
+    )
+    answer = (res.get("reasoning") or {}).get("answer") or ""
+    assert "born in" in answer
+    diag = (res.get("retrieval") or {}).get("diagnostics") or {}
+    assert diag.get("fallback") == "graph_sentences"
