@@ -47,6 +47,7 @@ from ..models.hash_embed import HashEmbedEncoder, tokenize
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels, fuse_pools_compact
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
+                         expand_frontier_weighted_batched,
                          expand_frontier_weighted_capped)
 from ..telemetry.sinks import TelemetrySink, record_device_timing
 
@@ -315,27 +316,42 @@ class TPUQueryEngine:
             dense_pool = jnp.where(pool_valid, dense_pool, 0.0)
 
             # ---- graph channel: frontier expansion with hop decay ----
-            # dense expansion gathers [B, N, deg] f32 per hop; when that
-            # exceeds ~2GB (e.g. B=2048, N=100k, deg=34 -> 27GB, an HBM
-            # OOM), fall back to the frontier-capped variant automatically
+            # the vmapped row-gather expansion materializes [B, N, deg] f32
+            # per hop; when that exceeds ~2GB, switch to the batched
+            # per-degree-column formulation (same semantics and bytes, no
+            # giant intermediate — 27GB at B=2048/N=100k/deg=34 otherwise).
+            # An explicit cfg.frontier_cap still selects the capped variant.
             deg = int(nbrs.shape[1]) if getattr(nbrs, "ndim", 0) == 2 else 1
             frontier_cap = cfg.frontier_cap
-            if frontier_cap is None and B * n * max(deg, 1) * 4 > 2 << 30:
-                frontier_cap = 512
+            use_batched_expand = (
+                frontier_cap is None
+                and B * n * max(deg, 1) * 4 > 2 << 30
+            )
             if seeds_explicit:
                 rows_s = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S))
-                seed_mask = (
-                    jnp.zeros((B, n + 1), dtype=jnp.bool_)
-                    .at[rows_s, jnp.where(seed_rows >= 0, seed_rows, n)]
-                    .set(True)[:, :n]
-                )
+                if use_batched_expand:
+                    # uniform seeds: weighted expansion with value 1.0 is
+                    # exactly decay(min distance) — expand_frontier parity
+                    seed_scores = (
+                        jnp.zeros((B, n + 1), dtype=jnp.float32)
+                        .at[rows_s, jnp.where(seed_rows >= 0, seed_rows, n)]
+                        .max(jnp.where(seed_rows >= 0, 1.0, 0.0))[:, :n]
+                    )
+                    graph_scores = expand_frontier_weighted_batched(
+                        nbrs, seed_scores, window=window)
+                else:
+                    seed_mask = (
+                        jnp.zeros((B, n + 1), dtype=jnp.bool_)
+                        .at[rows_s, jnp.where(seed_rows >= 0, seed_rows, n)]
+                        .set(True)[:, :n]
+                    )
 
-                def one_expand(sm):
-                    s, _ = expand_frontier(nbrs, sm, window=window,
-                                           frontier_cap=frontier_cap)
-                    return s
+                    def one_expand(sm):
+                        s, _ = expand_frontier(nbrs, sm, window=window,
+                                               frontier_cap=frontier_cap)
+                        return s
 
-                graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
+                    graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
             else:
                 S_eff = min(S, pool_k)
                 # seeds = strongest BM25 pool entries
@@ -353,17 +369,22 @@ class TPUQueryEngine:
                         .max(seed_vals)[:, :n]
                     )
 
-                    if frontier_cap:
+                    if use_batched_expand:
+                        graph_scores = expand_frontier_weighted_batched(
+                            nbrs, seed_scores, window=window)
+                    elif frontier_cap:
                         def one_expand_w(sv):
                             return expand_frontier_weighted_capped(
                                 nbrs, sv, window=window,
                                 frontier_cap=frontier_cap)
+
+                        graph_scores = jax.vmap(one_expand_w)(seed_scores)
                     else:
                         def one_expand_w(sv):
                             return expand_frontier_weighted(nbrs, sv,
                                                             window=window)
 
-                    graph_scores = jax.vmap(one_expand_w)(seed_scores)
+                        graph_scores = jax.vmap(one_expand_w)(seed_scores)
                 else:
                     seed_mask = (
                         jnp.zeros((B, n + 1), dtype=jnp.bool_)
@@ -379,7 +400,14 @@ class TPUQueryEngine:
                     graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
 
             P_g = min(pool_k, n)
-            g_pool_s, g_pool_i = jax.lax.top_k(graph_scores, P_g)
+            if n >= 32768:
+                # exact top_k over [B, N] lowers to a full per-row sort;
+                # the TPU's hardware-assisted approx_max_k (recall ~0.95 at
+                # the tail) selects the graph pool in a fraction of the
+                # time — the pool tail is already approximate by design
+                g_pool_s, g_pool_i = jax.lax.approx_max_k(graph_scores, P_g)
+            else:
+                g_pool_s, g_pool_i = jax.lax.top_k(graph_scores, P_g)
             g_valid = g_pool_s > 0
 
             counts = jnp.stack(

@@ -175,6 +175,47 @@ def expand_frontier_weighted_capped(
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def expand_frontier_weighted_batched(
+    neighbors: jax.Array,   # [N, deg] int32, -1 padded (symmetric)
+    seed_scores: jax.Array,  # [B, N] f32
+    *,
+    window: int,
+) -> jax.Array:
+    """Batched `expand_frontier_weighted` without the [B, N, deg]
+    intermediate.
+
+    The vmapped row-gather formulation materializes a [B, N, deg] f32
+    tensor per hop — 27GB at B=2048, N=100k, deg=34, an instant HBM OOM.
+    This variant takes one [B, N] gather per neighbor COLUMN (deg is a
+    small static constant) and folds the max in place, so peak memory is a
+    few [B, N] buffers while the bytes moved stay the same. The
+    frontier-capped variant avoids even those bytes but pays a serializing
+    scatter-max (measured 4x slower than this at B=2048, N=97k).
+    Semantics identical to `expand_frontier_weighted`.
+    """
+    N, deg = neighbors.shape
+    decay = jnp.asarray(hop_decay_table(max(window, 0)))
+    nbrs_t = jnp.swapaxes(neighbors, 0, 1)  # [deg, N]
+
+    wave = jnp.maximum(seed_scores, 0.0)  # [B, N]
+    best = wave * decay[0]
+    for h in range(1, max(window, 0) + 1):
+        # fori_loop (not an unrolled python loop): the unrolled form lets
+        # XLA keep all deg gather outputs live at once — 34 x [B, N] f32 =
+        # 27GB of HLO temps at B=2048, N=97k. Sequential accumulation
+        # bounds live buffers to two [B, N] arrays.
+        def body(d, new):
+            col = jax.lax.dynamic_index_in_dim(nbrs_t, d, axis=0,
+                                               keepdims=False)  # [N]
+            g = jnp.take(wave, jnp.where(col >= 0, col, 0), axis=1)
+            return jnp.maximum(new, jnp.where((col >= 0)[None, :], g, 0.0))
+
+        wave = jax.lax.fori_loop(0, deg, body, jnp.zeros_like(wave))
+        best = jnp.maximum(best, wave * decay[h])
+    return best
+
+
 def build_neighbor_table(
     n_nodes: int,
     edges_src: np.ndarray,

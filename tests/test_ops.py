@@ -324,3 +324,32 @@ def test_capped_weighted_expansion_matches_dense(rng):
     for b in nbrs[2]:
         if b >= 0:
             assert capped1[b] >= 0.7 - 1e-6
+
+
+def test_expand_frontier_weighted_batched_matches_vmapped(rng):
+    """The memory-safe batched formulation == the vmapped row-gather one,
+    and uniform seeds reduce to expand_frontier's decay(distance)."""
+    from a_modular_rag_framework_tpu.ops.graph import (
+        build_neighbor_table,
+        expand_frontier,
+        expand_frontier_weighted,
+        expand_frontier_weighted_batched,
+    )
+
+    N, deg, B = 200, 5, 8
+    src = rng.integers(0, N, 500)
+    dst = rng.integers(0, N, 500)
+    nbrs = jnp.asarray(build_neighbor_table(N, src, dst, deg))
+    seeds = (rng.random((B, N)).astype(np.float32)
+             * (rng.random((B, N)) < 0.03))
+    ref = np.stack([np.asarray(expand_frontier_weighted(
+        nbrs, jnp.asarray(s), window=2)) for s in seeds])
+    got = np.asarray(expand_frontier_weighted_batched(
+        nbrs, jnp.asarray(seeds), window=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    mask = seeds[0] > 0
+    s_ref, _ = expand_frontier(nbrs, jnp.asarray(mask), window=2)
+    got_u = np.asarray(expand_frontier_weighted_batched(
+        nbrs, jnp.asarray(mask[None].astype(np.float32)), window=2))[0]
+    np.testing.assert_allclose(got_u, np.asarray(s_ref), rtol=1e-6)
