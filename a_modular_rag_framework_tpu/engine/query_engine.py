@@ -254,9 +254,6 @@ class TPUQueryEngine:
         alphas = jnp.asarray(
             [cfg.alpha_text, cfg.alpha_graph, cfg.alpha_dense], dtype=jnp.float32
         )
-        nbrs = self._nbrs
-        emb = self._emb
-        bm = self._bm25
 
         def _pack_outputs(top_s, top_i, norms_at, counts):
             # two output arrays instead of four: each device->host transfer
@@ -268,6 +265,13 @@ class TPUQueryEngine:
             return f32_pack, i32_pack
 
         def program(*args):
+            # the index rides as an explicit argument tree, NOT a closure:
+            # closed-over arrays serialize into the lowered program as
+            # constants — 81MB of MLIR at N=97k, and past the remote-compile
+            # tunnel's request limit at N=1M
+            *args, index_tree = args
+            emb, nbrs, bm = (index_tree["emb"], index_tree["nbrs"],
+                             index_tree["bm"])
             if fuse_embed:
                 feat_a, feat_b, term_ids, seed_rows = args
                 q_emb = self.encoder.device_embed(feat_a, feat_b)
@@ -592,15 +596,17 @@ class TPUQueryEngine:
                seeds_explicit, cfg.graph_seed_weighted, fuse_embed)
         fn = self._program(key)
 
+        index_tree = {"emb": self._emb, "nbrs": self._nbrs, "bm": self._bm25}
         t0 = time.time()
         if fuse_embed:
             f32_pack, i32_pack = fn(
                 jnp.asarray(feats[0]), jnp.asarray(feats[1]),
-                jnp.asarray(term_ids), jnp.asarray(seed_arr)
+                jnp.asarray(term_ids), jnp.asarray(seed_arr), index_tree
             )
         else:
             f32_pack, i32_pack = fn(
-                jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr)
+                jnp.asarray(q_emb), jnp.asarray(term_ids),
+                jnp.asarray(seed_arr), index_tree
             )
         return PendingQuery(
             engine=self, f32_pack=f32_pack, i32_pack=i32_pack, B=B,

@@ -366,6 +366,14 @@ class ShardedHybridEngine:
 
     # ---- public API (mirrors TPUQueryEngine.query_batch) ----
 
+    def query_batch_async(self, queries: Sequence[str], **kw):
+        """API parity with TPUQueryEngine: the sharded program's collectives
+        already complete inside one dispatch, so 'async' here just defers
+        nothing — QueryServer can treat both engines uniformly."""
+        from ..engine.query_engine import PendingQuery
+
+        return PendingQuery(done=self.query_batch(queries, **kw))
+
     def query_batch(
         self,
         queries: Sequence[str],

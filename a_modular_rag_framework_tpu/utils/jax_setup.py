@@ -21,10 +21,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if _DONE:
         return
     _DONE = True
-    # Remote-compile TPU tunnels (axon) deadlock when the persistent cache
-    # tries to serialize executables — measured: a trivial jit hangs. Only
-    # enable the cache for locally-compiled backends.
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+    # Earlier remote-compile TPU tunnels (axon) deadlocked when the
+    # persistent cache serialized executables; re-measured on the current
+    # tunnel: writes and cross-process hits both work (cold 13k-corpus
+    # program ~330s -> warm ~seconds). Keep an escape hatch in case a
+    # future tunnel regresses.
+    if os.environ.get("AMRF_DISABLE_JAX_CACHE") == "1":
         return
     try:
         import jax

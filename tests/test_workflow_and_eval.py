@@ -148,3 +148,36 @@ def test_metric_functions():
     assert recall_at_k([], ["x"], 5) == 0.0
     assert mrr(["a", "b", "gold"], ["gold"]) == pytest.approx(1 / 3)
     assert mrr(["a"], ["gold"]) == 0.0
+
+
+def test_canonical_sent_key_reference_spellings():
+    """The measured-baseline metric layer canonicalizes every hit-id
+    spelling the reference emits (raw doc-id dense keys, empty sid for
+    sent_id=0)."""
+    from a_modular_rag_framework_tpu.eval.reference_harness import (
+        canonical_sent_key,
+    )
+
+    assert canonical_sent_key("sent::Doc A::3") == ("Doc A", "3")
+    # reference writes sent_id=0 as an empty sid
+    assert canonical_sent_key("sent::Doc A::") == ("Doc A", "0")
+    # dense-channel raw doc ids: sent::<title>#<sid>::<sid>
+    assert canonical_sent_key("sent::Doc A#3::3") == ("Doc A", "3")
+    assert canonical_sent_key("sent::Doc A#0::") == ("Doc A", "0")
+    # non-sentence ids (the reference's page-level graph hits) drop out
+    assert canonical_sent_key("sent::Doc A") is None
+    assert canonical_sent_key("sent::Doc::x") is None
+    assert canonical_sent_key("") is None
+
+
+def test_score_hits_dedups_spellings():
+    from a_modular_rag_framework_tpu.eval.reference_harness import score_hits
+
+    sample = {"supporting_facts": [["Doc A", 0], ["Doc B", 1]]}
+    # duplicate spellings of the same sentence must count once; rank of
+    # the first gold decides the reciprocal rank
+    r, rr = score_hits(
+        ["sent::Doc X::2", "sent::Doc A#0::", "sent::Doc A::",
+         "sent::Doc B::1"], sample, k=10)
+    assert r == 1.0
+    assert rr == 0.5
