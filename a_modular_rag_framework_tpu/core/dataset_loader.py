@@ -109,6 +109,14 @@ class SyntheticHotpotQALoader(DatasetLoader):
         s = self.SYLLABLES
         parts = [s[idx % len(s)], s[(idx // len(s)) % len(s)],
                  s[(idx // (len(s) ** 2)) % len(s)]]
+        # keep appending syllables past 26^3: a fixed 3-syllable scheme
+        # repeats after 17,576 names, and at >17k docs colliding titles get
+        # (title, sid)-deduped into the WRONG sample's sentences — gold
+        # associations silently break at large corpus sizes
+        idx //= len(s) ** 3
+        while idx:
+            parts.append(s[idx % len(s)])
+            idx //= len(s)
         return "".join(parts).capitalize()
 
     def _person(self, rng: random.Random) -> str:

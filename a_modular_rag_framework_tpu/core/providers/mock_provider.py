@@ -108,9 +108,15 @@ class MockProvider:
         q = _extract_question(prompt)
         ents = [e for e in re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", q)
                 if e not in self._QUESTION_WORDS]
+        ent_toks = set(_tokenize(" ".join(ents)))
+        preds = [w for w in _content_words(q) if w not in ent_toks]
         steps = []
         if ents:
-            steps.append(f"1) Find facts about {ents[0]}.")
+            # carry the relation words into the hop-1 step: the evidence
+            # selector's lexical match is what links "collaborator of X"
+            # to the sentence naming X's collaborator
+            steps.append(f"1) Find facts about {ents[0]}: "
+                         f"{' '.join(preds[:4])}.")
             if len(ents) > 1:
                 steps.append(f"2) Relate {ents[0]} to {ents[-1]}.")
         steps.append(f"{len(steps) + 1}) Answer: {' '.join(_content_words(q)[:6])}.")
@@ -181,11 +187,26 @@ class MockProvider:
 
         if best_pair is not None:
             _, k2, t2, k1 = best_pair
-            return f"{t2} [#{k2}] [#{k1}]"
+            return f"{self._extract_span(q, t2)} [#{k2}] [#{k1}]"
 
         k1, t1 = max(h1s, key=lambda kt: (ent_score(kt[1], q_ents),
                                           len(q_words & set(_tokenize(kt[1])))))
-        return f"{t1} [#{k1}]"
+        return f"{self._extract_span(q, t1)} [#{k1}]"
+
+    @staticmethod
+    def _extract_span(question: str, sentence: str) -> str:
+        """Answer-span extraction: for where/which-place questions return
+        the location phrase instead of the whole evidence sentence (EM/F1
+        against short gold answers is meaningless otherwise)."""
+        ql = question.lower()
+        if any(w in ql for w in ("where", "which city", "what city",
+                                 "which town", "what place")):
+            m = re.search(
+                r"born(?: and raised)? in (?:the city of )?"
+                r"((?:[A-Z][\w']*)(?: [A-Z][\w']*)*)", sentence)
+            if m:
+                return m.group(1)
+        return sentence
 
     def _factcheck(self, prompt: str) -> str:
         q = _extract_question(prompt)

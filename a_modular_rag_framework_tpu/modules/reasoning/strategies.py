@@ -29,6 +29,12 @@ def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
 
 
+def _stems(tokens) -> List[str]:
+    """6-char prefix stems (len >= 4) so inflection variants meet:
+    "collaborator" / "collaborated" / "collaboration" -> "collab"."""
+    return [t[:6] if len(t) >= 4 else t for t in tokens]
+
+
 def overlap_score(a: str, b: str) -> float:
     """Term-overlap score favoring concise evidence."""
     A, B = set(tokenize(a)), set(tokenize(b))
@@ -180,7 +186,7 @@ def select_evidence_for_steps(
         return [[] for _ in steps], used
 
     texts = [_hit_text(h) for h in H]
-    text_tokens = [set(tokenize(t)) for t in texts]
+    text_tokens = [set(_stems(tokenize(t))) for t in texts]
     text_lens = np.array([len(tt) for tt in text_tokens], dtype=np.float32)
     log_lens = 1.0 + np.log(1.0 + text_lens)
 
@@ -202,10 +208,17 @@ def select_evidence_for_steps(
     has_text = text_lens > 0
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
 
+    cap_re = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
+    carry: set = set()  # bridge-entity tokens discovered in earlier steps
+
     for step in steps:
-        s_tokens = set(tokenize(step))
+        s_tokens = set(_stems(tokenize(step)))
+        # multi-hop chains name the bridge entity only in evidence, never
+        # in the question: entities found in earlier steps' picks join the
+        # lexical query (and count double — the bridge link is the signal)
         inter = np.array(
-            [len(s_tokens & tt) for tt in text_tokens], dtype=np.float32
+            [len(s_tokens & tt) + 2 * len(carry & tt) for tt in text_tokens],
+            dtype=np.float32,
         )
         lex = np.where(has_text, inter / log_lens, 0.0)
         score = np.where(has_channels, 0.6 * lex + 0.4 * fused_chan, lex)
@@ -231,6 +244,13 @@ def select_evidence_for_steps(
 
         step_evidences.append(picked)
         used.update(picked)
+        for i in picked:
+            for ent in cap_re.findall(texts[i]):
+                # keep only the NOVEL tokens of each entity: a bridge
+                # person sharing the question entity's first name ("Brisa
+                # Venanan collaborated with Brisa Wynanan") must still
+                # contribute the surname
+                carry.update(set(_stems(tokenize(ent))) - s_tokens)
 
     return step_evidences, used
 

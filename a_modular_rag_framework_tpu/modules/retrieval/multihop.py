@@ -83,6 +83,7 @@ def iterative_retrieve(
     top_k: int,
     hop1_inspect: int = 20,
     hop_decay: float = 0.5,
+    hop2_reserve: Optional[int] = None,
     max_bridge_entities: int = 4,
     expansions: Optional[Sequence[Sequence[str]]] = None,
     seed_rows: Optional[Sequence[Sequence[int]]] = None,
@@ -137,19 +138,44 @@ def iterative_retrieve(
     scores2 = np.asarray(r2.hits.scores) * hop_decay
     norms2 = np.asarray(r2.channel_norms)
 
+    # hop-2 hits are decayed, so a pure score merge lets hop-1's distractor
+    # TAIL (scores ~0.5) squeeze out exactly the evidence hop 2 exists to
+    # find ("B was born in X" at 0.84 * 0.5 = 0.42). Reserve a few merged
+    # slots for the best hop-2-only hits.
+    reserve = (max(2, top_k // 4) if hop2_reserve is None
+               else max(0, int(hop2_reserve)))
     out_ids = np.full((B, top_k), -1, dtype=np.int32)
     out_scores = np.zeros((B, top_k), dtype=np.float32)
     out_norms = np.zeros((B, 3, top_k), dtype=np.float32)
     for b in range(B):
         merged: Dict[int, Tuple[float, np.ndarray]] = {}
+        h1_ids = set()
         for j, (i, s) in enumerate(zip(ids1[b].tolist(), scores1[b].tolist())):
             if i >= 0 and (i not in merged or s > merged[i][0]):
                 merged[i] = (float(s), norms1[:, b, j])
+                h1_ids.add(i)
+        hop2_only: List[int] = []
         if active[b]:
             for j, (i, s) in enumerate(zip(ids2[b].tolist(), scores2[b].tolist())):
-                if i >= 0 and (i not in merged or s > merged[i][0]):
+                if i < 0:
+                    continue
+                if i not in merged or s > merged[i][0]:
                     merged[i] = (float(s), norms2[:, b, j])
+                if i not in h1_ids:
+                    hop2_only.append(i)
         ranked = sorted(merged.items(), key=lambda kv: -kv[1][0])[:top_k]
+        if active[b] and reserve:
+            have = {i for i, _ in ranked}
+            missing = [i for i in hop2_only if i not in have][:reserve]
+            n_h2 = sum(1 for i, _ in ranked if i in set(hop2_only))
+            drop = max(0, min(len(missing), reserve - n_h2))
+            if drop:
+                keep = [kv for kv in ranked if kv[0] not in set(hop2_only)]
+                h2_kv = [kv for kv in ranked if kv[0] in set(hop2_only)]
+                keep = keep[: top_k - len(h2_kv) - drop]
+                ranked = sorted(
+                    keep + h2_kv + [(i, merged[i]) for i in missing[:drop]],
+                    key=lambda kv: -kv[1][0])[:top_k]
         for j, (i, (s, nrm)) in enumerate(ranked):
             out_ids[b, j] = i
             out_scores[b, j] = s

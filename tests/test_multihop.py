@@ -84,3 +84,54 @@ def test_iterative_backend_hits_tagged(setup):
                                        graph_id="", top_k=10, trace_id="t"))
     assert out.hits and out.hits[0].id.startswith("sent::")
     assert "hop2_active" in out.diagnostics
+
+
+def test_hop2_reserve_protects_bridge_evidence():
+    """Decayed hop-2 hits must not be squeezed out of the merged top-k by
+    hop-1's distractor tail: the merge reserves slots for hop-2-only ids."""
+    import numpy as np
+
+    from a_modular_rag_framework_tpu.core.dto import HitBatch
+    from a_modular_rag_framework_tpu.engine.query_engine import QueryResult
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+    )
+
+    class FakeCorpus:
+        # hop-1 texts name the question entity + bridge; titles exist
+        docs = ([{"title": "Alice Prior", "sent_id": 0,
+                  "text": "Alice Prior collaborated with Bob Quine."}]
+                + [{"title": f"D{i}", "sent_id": 0,
+                    "text": f"Someone was born in City{i}."}
+                   for i in range(1, 30)]
+                + [{"title": "Bob Quine", "sent_id": 0,
+                    "text": "Bob Quine was born in Target City."}])
+
+    class FakeIndex:
+        corpus = FakeCorpus()
+
+    class FakeEngine:
+        index = FakeIndex()
+        calls = 0
+
+        def query_batch(self, queries, **kw):
+            k = kw.get("top_k", 10)
+            self.calls += 1
+            if self.calls == 1:  # hop 1: ids 0..19, tail scores ~0.5
+                ids = np.arange(20, dtype=np.int32)[None, :k]
+                scores = np.linspace(1.0, 0.5, 20, dtype=np.float32)[None, :k]
+            else:  # hop 2: the bridge doc (id 30) leads
+                ids = np.asarray([[30] + list(range(1, k))], dtype=np.int32)
+                scores = np.linspace(0.9, 0.2, k, dtype=np.float32)[None]
+            return QueryResult(
+                hits=HitBatch(ids=ids, scores=scores),
+                channel_norms=np.zeros((3, 1, ids.shape[1]), np.float32),
+            )
+
+    ids, scores, norms, diag = iterative_retrieve(
+        FakeEngine(), ["Where was the collaborator of Alice Prior born?"],
+        top_k=10)
+    assert diag["hop2_active"] == 1
+    # id 30 scores 0.9 * 0.5 = 0.45 < every hop-1 tail score, but the
+    # reserve must still place it in the top-10
+    assert 30 in ids[0].tolist()

@@ -124,6 +124,16 @@ def test_answer_question_without_ingested_corpus(tmp_path, monkeypatch):
         settings_path=str(REPO_ROOT / "config" / "settings.yaml"),
     )
     answer = (res.get("reasoning") or {}).get("answer") or ""
-    assert "born in" in answer
+    # the mock extracts the location span, so the answer is the city name
+    # (plus citations), never the no-evidence fallback text
+    assert answer and "No supporting evidence" not in answer
+    from a_modular_rag_framework_tpu.core.dataset_loader import (
+        SyntheticHotpotQALoader,
+    )
+
+    sample = next(
+        s for s in SyntheticHotpotQALoader({"count": 8, "seed": 0}).load()
+        if "Sage Silverton" in s["question"])
+    assert sample["answer"] in answer
     diag = (res.get("retrieval") or {}).get("diagnostics") or {}
     assert diag.get("fallback") == "graph_sentences"
