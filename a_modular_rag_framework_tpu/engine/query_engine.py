@@ -74,6 +74,11 @@ class EngineConfig:
     graph_seed_weighted: bool = True
     batch_buckets: Tuple[int, ...] = (1, 8, 64, 256)
     frontier_cap: Optional[int] = None
+    # graph pool selection uses the TPU's approx_max_k above 32k rows
+    # (exact top_k lowers to a full per-row sort); set True to force the
+    # exact path — required when bit-for-bit agreement with the sharded
+    # engine (which is always exact) matters more than throughput
+    graph_pool_exact: bool = False
 
 
 @dataclass
@@ -102,6 +107,10 @@ class PendingQuery:
         self._pool_k, self._window = pool_k, window
         self._t0, self._trace_id = t0, trace_id
         self._done = done
+        # dispatch->fetch wall time equals device time only when fetched
+        # immediately; in pipelined mode the fetch is deliberately delayed,
+        # so the measurement would include the next batch's host prep
+        self._sync_timing = False
 
     def result(self) -> QueryResult:
         if self._done is not None:
@@ -111,13 +120,14 @@ class PendingQuery:
         B, B_real, k = self._B, self._B_real, self._k
         f32_pack = np.asarray(self._f32)
         i32_pack = np.asarray(self._i32)
-        dt_ms = (time.time() - self._t0) * 1000.0
+        dt_ms = ((time.time() - self._t0) * 1000.0
+                 if self._sync_timing else None)
         top_s = f32_pack[:B_real, :k]
         norms_at = np.moveaxis(
             f32_pack[:B_real, k:].reshape(B_real, 3, k), 1, 0)
         top_i = i32_pack[:B_real, :k]
         counts = i32_pack[:B_real, k:]
-        if eng.sink and self._trace_id:
+        if eng.sink and self._trace_id and dt_ms is not None:
             record_device_timing(
                 eng.sink, self._trace_id, kernel="engine/query_batch",
                 device_ms=dt_ms, shape=f"B{B}xN{eng._n}k{k}",
@@ -135,13 +145,93 @@ class PendingQuery:
                             "alpha_dense": cfg.alpha_dense},
                 "pool": {"bm25_pool_k": self._pool_k, "final_top_k": k},
                 "graph_window_used": self._window,
-                "device_ms": round(dt_ms, 3),
+                "device_ms": round(dt_ms, 3) if dt_ms is not None else None,
                 "batch_bucket": B,
             },
         )
         # release device handles
         self._f32 = self._i32 = None
         return self._done
+
+
+# ---------------- shared host-side helpers ----------------
+# (used by TPUQueryEngine AND parallel.sharded_hybrid.ShardedHybridEngine —
+# one implementation so bucketing/encoding/hydration can't drift apart)
+
+
+def pick_bucket(buckets: Sequence[int], b: int) -> int:
+    for s in buckets:
+        if b <= s:
+            return s
+    return b
+
+
+def encode_query_term_ids(variants: Sequence[Sequence[str]], E: int, T: int,
+                          vocab: Dict[str, int], native_vocab=None) -> np.ndarray:
+    """[B, E, T] int32 BM25 term ids (-1 padded); native lookup if available."""
+    B = len(variants)
+    if native_vocab is not None:
+        flat: List[str] = []
+        for vs in variants:
+            vs = list(vs)[:E]
+            flat.extend(vs + [""] * (E - len(vs)))
+        return native_vocab.lookup_batch(flat, T).reshape(B, E, T)
+    term_ids = np.full((B, E, T), -1, dtype=np.int32)
+    for b, vs in enumerate(variants):
+        for e, q in enumerate(list(vs)[:E]):
+            tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
+            term_ids[b, e, : len(tids)] = tids
+    return term_ids
+
+
+def prepare_query_variants(
+    queries: Sequence[str],
+    expansions: Optional[Sequence[Sequence[str]]],
+    B: int,
+    max_variants: int,
+) -> Tuple[List[List[str]], int]:
+    """Pad the batch to B, cap variants, and pick the power-of-two variant
+    bucket E actually needed (BM25 work scales with E)."""
+    variants: List[List[str]] = []
+    for i in range(B):
+        if i < len(queries):
+            v = [queries[i]] + list(expansions[i] if expansions else [])
+        else:
+            v = [""]
+        variants.append(v[:max_variants])
+    e_needed = max(len(v) for v in variants)
+    E = 1
+    while E < e_needed:
+        E *= 2
+    return variants, min(E, max_variants)
+
+
+def trim_term_bucket(term_ids: np.ndarray, max_terms: int) -> np.ndarray:
+    """Trim [B, E, T] to the power-of-two T bucket actually used (phase-1
+    sort width is T * term_topm; typical queries fill ~10 of 32 slots)."""
+    used_t = int((term_ids >= 0).any(axis=(0, 1)).nonzero()[0].max() + 1) \
+        if (term_ids >= 0).any() else 1
+    T_eff = 8
+    while T_eff < used_t:
+        T_eff *= 2
+    return term_ids[:, :, : min(T_eff, max_terms)]
+
+
+def hydrate_result_hits(corpus, result: "QueryResult", row: int,
+                        extra_meta: Optional[Dict[str, Any]] = None):
+    """QueryResult row -> List[Hit] with corpus meta + channel norms."""
+    hits = result.hits.hydrate(row, id_fn=corpus.hit_id,
+                               meta_fn=corpus.hit_meta, extra_meta=extra_meta)
+    ids = np.asarray(result.hits.ids)[row]
+    j = 0
+    for i, rid in enumerate(ids.tolist()):
+        if rid < 0:
+            continue
+        for c, name in enumerate(("text", "graph", "dense")):
+            hits[j].meta[f"score_{name}_norm"] = float(
+                result.channel_norms[c, row, i])
+        j += 1
+    return hits
 
 
 class TPUQueryEngine:
@@ -187,10 +277,7 @@ class TPUQueryEngine:
     # ------------- host-side encoding -------------
 
     def _bucket(self, b: int) -> int:
-        for s in self.config.batch_buckets:
-            if b <= s:
-                return s
-        return b
+        return pick_bucket(self.config.batch_buckets, b)
 
     def encode_queries(
         self, variants: Sequence[Sequence[str]], n_variants: Optional[int] = None
@@ -201,7 +288,6 @@ class TPUQueryEngine:
         the ORIGINAL query embedding only (reference embeds req.query,
         retrieval_backend.py:227), BM25 max-merges over all variants.
         """
-        cfg = self.config
         originals = [v[0] if v else "" for v in variants]
         q_emb = np.asarray(self.encoder.encode_texts(list(originals)), dtype=np.float32)
         return q_emb, self.encode_term_ids(variants, n_variants=n_variants)
@@ -211,24 +297,10 @@ class TPUQueryEngine:
     ) -> np.ndarray:
         """[B, E, T] int32 BM25 term ids only (no query embedding)."""
         cfg = self.config
-        B, E, T = len(variants), n_variants or cfg.qe_variants, cfg.max_query_terms
-
-        if self._native_vocab is not None:
-            # flat native lookup over all (query, variant) texts
-            flat_texts = []
-            for vs in variants:
-                vs = list(vs)[:E]
-                flat_texts.extend(vs + [""] * (E - len(vs)))
-            ids = self._native_vocab.lookup_batch(flat_texts, T)
-            return ids.reshape(B, E, T)
-
-        term_ids = np.full((B, E, T), -1, dtype=np.int32)
-        vocab = self.index.bm25.vocab
-        for b, vs in enumerate(variants):
-            for e, q in enumerate(list(vs)[:E]):
-                tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
-                term_ids[b, e, : len(tids)] = tids
-        return term_ids
+        return encode_query_term_ids(
+            variants, n_variants or cfg.qe_variants, cfg.max_query_terms,
+            self.index.bm25.vocab, self._native_vocab,
+        )
 
     def qmatch_seed_rows(self, query: str, candidate_rows: Sequence[int]) -> List[int]:
         """Host q_match: candidate rows sharing >=1 token with the query
@@ -404,7 +476,7 @@ class TPUQueryEngine:
                     graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
 
             P_g = min(pool_k, n)
-            if n >= 32768:
+            if n >= 32768 and not cfg.graph_pool_exact:
                 # exact top_k over [B, N] lowers to a full per-row sort;
                 # the TPU's hardware-assisted approx_max_k (recall ~0.95 at
                 # the tail) selects the graph pool in a fraction of the
@@ -499,6 +571,7 @@ class TPUQueryEngine:
             queries, expansions=expansions, seed_rows=seed_rows,
             top_k=top_k, graph_window=graph_window, trace_id=trace_id,
         )
+        pending._sync_timing = True
         return pending.result()
 
     def query_batches_pipelined(
@@ -547,20 +620,8 @@ class TPUQueryEngine:
         pool_k = min(cfg.pool_k, self._n)
         B = self._bucket(B_real)
 
-        variants: List[List[str]] = []
-        for i in range(B):
-            if i < B_real:
-                v = [queries[i]] + list(expansions[i] if expansions else [])
-            else:
-                v = [""]
-            variants.append(v[: cfg.qe_variants])
-        # dynamic variant bucket: a batch with no expansions pays for E=1,
-        # not the configured maximum (BM25 gather/scatter work scales with E)
-        e_needed = max(len(v) for v in variants)
-        E = 1
-        while E < e_needed:
-            E *= 2
-        E = min(E, cfg.qe_variants)
+        variants, E = prepare_query_variants(queries, expansions, B,
+                                             cfg.qe_variants)
         # query embedding is fused into the device program when the encoder
         # exposes host_featurize/device_embed — one dispatch round-trip
         # instead of two (the separate embed call measured ~31ms of pure
@@ -574,15 +635,8 @@ class TPUQueryEngine:
             term_ids = self.encode_term_ids(variants, n_variants=E)
         else:
             q_emb, term_ids = self.encode_queries(variants, n_variants=E)
-        # dynamic term bucket: phase-1 sort width is T * term_topm, and
-        # typical queries fill ~10 of the 32 slots
-        used_t = int((term_ids >= 0).any(axis=(0, 1)).nonzero()[0].max() + 1) \
-            if (term_ids >= 0).any() else 1
-        T_eff = 8
-        while T_eff < used_t:
-            T_eff *= 2
-        T_eff = min(T_eff, cfg.max_query_terms)
-        term_ids = term_ids[:, :, :T_eff]
+        term_ids = trim_term_bucket(term_ids, cfg.max_query_terms)
+        T_eff = term_ids.shape[2]
 
         seeds_explicit = seed_rows is not None
         S = cfg.max_seed_rows
@@ -684,17 +738,4 @@ class TPUQueryEngine:
 
     def hydrate_hits(self, result: QueryResult, row: int, extra_meta: Optional[Dict[str, Any]] = None):
         """QueryResult row -> List[Hit] with corpus meta + channel norms."""
-        corpus = self.index.corpus
-        hits = result.hits.hydrate(
-            row, id_fn=corpus.hit_id, meta_fn=corpus.hit_meta, extra_meta=extra_meta
-        )
-        ids = np.asarray(result.hits.ids)[row]
-        j = 0
-        for i, rid in enumerate(ids.tolist()):
-            if rid < 0:
-                continue
-            hits[j].meta["score_text_norm"] = float(result.channel_norms[0, row, i])
-            hits[j].meta["score_graph_norm"] = float(result.channel_norms[1, row, i])
-            hits[j].meta["score_dense_norm"] = float(result.channel_norms[2, row, i])
-            j += 1
-        return hits
+        return hydrate_result_hits(self.index.corpus, result, row, extra_meta)

@@ -187,5 +187,11 @@ class QueryServer:
                             r.future.set_exception(e)
                 while len(inflight) > 1:
                     self._finish(*inflight.popleft())
+            # nothing else queued: resolve immediately rather than letting a
+            # lone synchronous caller wait out the next drain timeout
+            # (~50ms) — pipelining only pays under sustained load anyway
+            if self._q.empty():
+                while inflight:
+                    self._finish(*inflight.popleft())
         while inflight:
             self._finish(*inflight.popleft())

@@ -141,9 +141,12 @@ def iterative_retrieve(
     # hop-2 hits are decayed, so a pure score merge lets hop-1's distractor
     # TAIL (scores ~0.5) squeeze out exactly the evidence hop 2 exists to
     # find ("B was born in X" at 0.84 * 0.5 = 0.42). Reserve a few merged
-    # slots for the best hop-2-only hits.
+    # slots for the best hop-2-only hits — but never so many that hop-1's
+    # anchors get evicted (clamped to top_k - 2 so at least the two
+    # strongest hop-1 hits always survive).
     reserve = (max(2, top_k // 4) if hop2_reserve is None
                else max(0, int(hop2_reserve)))
+    reserve = min(reserve, max(0, top_k - 2))
     out_ids = np.full((B, top_k), -1, dtype=np.int32)
     out_scores = np.zeros((B, top_k), dtype=np.float32)
     out_norms = np.zeros((B, 3, top_k), dtype=np.float32)

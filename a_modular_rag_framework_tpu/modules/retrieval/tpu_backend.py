@@ -194,18 +194,30 @@ class TPUHybridRetrievalBackend:
         rows: List[int] = []
         by = (engine or self.engine).index.corpus.row_by_title_sid()
         try:
-            if adj.exists():
-                data = np.load(adj, allow_pickle=False)
-                node_ids = list(data["node_ids"])
-                for seed in data["qmatch_seeds"]:
-                    nid = str(node_ids[int(seed)])
-                    row = self._node_id_to_row(nid, by)
-                    if row is not None:
-                        rows.append(row)
-            else:
+            use_json = not adj.exists()
+            if not use_json:
+                try:
+                    data = np.load(adj, allow_pickle=False)
+                    node_ids = list(data["node_ids"])
+                    for seed in data["qmatch_seeds"]:
+                        nid = str(node_ids[int(seed)])
+                        row = self._node_id_to_row(nid, by)
+                        if row is not None:
+                            rows.append(row)
+                except ValueError:
+                    # pre-round-2 artifact: node_ids saved as dtype=object
+                    # needs pickle, which we refuse for untrusted dirs.
+                    # graph.json carries the same q_match edges — use it
+                    # and suggest re-ingesting.
+                    logger.warning(
+                        "legacy adjacency.npz for %s (object-dtype "
+                        "node_ids); reading graph.json instead — re-ingest "
+                        "to refresh the artifact", graph_id)
+                    use_json = True
+            if use_json:
                 gj = gdir / "graph.json"
                 if not gj.exists():
-                    return None
+                    return sorted(set(rows)) if rows else None
                 g = json.loads(gj.read_text(encoding="utf-8"))
                 for e in g.get("edges", []):
                     if e.get("type") == "q_match" and e.get("source") == "q1":

@@ -113,7 +113,7 @@ def fuse_pools_compact(
     def pick(x):
         return jnp.take_along_axis(x, order, axis=1)
 
-    ids_s, flag_s = pick(sort_ids), pick(flag)
+    ids_s = pick(sort_ids)
     fused_s = pick(fused_cat)
     nt_s, ng_s, nd_s = pick(nt_cat), pick(ng_cat), pick(nd_cat)
     dup = jnp.concatenate(

@@ -28,7 +28,10 @@ Exactness: phase-1 BM25 windows run over LOCAL postings, so each term
 contributes up to ``term_topm`` candidates PER SHARD — a superset of the
 single-chip window. With ``term_topm`` >= the longest posting list both
 paths are exact and agree bit-for-bit (asserted by tests and the driver's
-``dryrun_multichip``).
+``dryrun_multichip``). Note the single-chip engine selects its graph pool
+with approx_max_k at n >= 32768 unless ``graph_pool_exact`` is set — this
+engine is always exact, so bit-for-bit claims at large n require
+``graph_pool_exact=True`` on the single-chip side.
 
 Memory: index rows (embeddings, CSR, doc tables, adjacency) are fully
 sharded — per-chip residency is N/s rows. The graph wave is [B, N]
@@ -48,7 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.dto import HitBatch
 from ..engine.query_engine import EngineConfig, QueryResult
 from ..index.packed import PackedIndex
-from ..models.hash_embed import HashEmbedEncoder, tokenize
+from ..models.hash_embed import HashEmbedEncoder
 from ..ops.bm25 import bm25_rescore_pool, bm25_topk_sorted
 from ..ops.fusion import fuse_pools_compact
 from ..ops.graph import hop_decay_table
@@ -200,31 +203,21 @@ class ShardedHybridEngine:
     def n_shards(self) -> int:
         return self.mesh.shape[self.axis]
 
-    # ---- host prep (mirrors TPUQueryEngine) ----
+    # ---- host prep (shared helpers — same code as TPUQueryEngine) ----
 
     def _bucket(self, b: int) -> int:
-        for s in self.config.batch_buckets:
-            if b <= s:
-                return s
-        return b
+        from ..engine.query_engine import pick_bucket
+
+        return pick_bucket(self.config.batch_buckets, b)
 
     def _encode_term_ids(self, variants: Sequence[Sequence[str]], E: int
                          ) -> np.ndarray:
-        cfg = self.config
-        B, T = len(variants), cfg.max_query_terms
-        if self._native_vocab is not None:
-            flat: List[str] = []
-            for vs in variants:
-                vs = list(vs)[:E]
-                flat.extend(vs + [""] * (E - len(vs)))
-            return self._native_vocab.lookup_batch(flat, T).reshape(B, E, T)
-        term_ids = np.full((B, E, T), -1, dtype=np.int32)
-        vocab = self.index.bm25.vocab
-        for b, vs in enumerate(variants):
-            for e, q in enumerate(list(vs)[:E]):
-                tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
-                term_ids[b, e, : len(tids)] = tids
-        return term_ids
+        from ..engine.query_engine import encode_query_term_ids
+
+        return encode_query_term_ids(
+            variants, E, self.config.max_query_terms,
+            self.index.bm25.vocab, self._native_vocab,
+        )
 
     # ---- the sharded device program ----
 
@@ -400,29 +393,17 @@ class ShardedHybridEngine:
         pool_k = min(cfg.pool_k, self._n)
         B = self._bucket(B_real)
 
-        variants: List[List[str]] = []
-        for i in range(B):
-            if i < B_real:
-                v = [queries[i]] + list(expansions[i] if expansions else [])
-            else:
-                v = [""]
-            variants.append(v[: cfg.qe_variants])
-        e_needed = max(len(v) for v in variants)
-        E = 1
-        while E < e_needed:
-            E *= 2
-        E = min(E, cfg.qe_variants)
+        from ..engine.query_engine import (prepare_query_variants,
+                                           trim_term_bucket)
+
+        variants, E = prepare_query_variants(queries, expansions, B,
+                                             cfg.qe_variants)
         originals = [v[0] if v else "" for v in variants]
         q_emb = np.asarray(self.encoder.encode_texts(originals),
                            dtype=np.float32)
         term_ids = self._encode_term_ids(variants, E)
-        used_t = int((term_ids >= 0).any(axis=(0, 1)).nonzero()[0].max() + 1) \
-            if (term_ids >= 0).any() else 1
-        T_eff = 8
-        while T_eff < used_t:
-            T_eff *= 2
-        T_eff = min(T_eff, cfg.max_query_terms)
-        term_ids = term_ids[:, :, :T_eff]
+        term_ids = trim_term_bucket(term_ids, cfg.max_query_terms)
+        T_eff = term_ids.shape[2]
 
         seeds_explicit = seed_rows is not None
         S = cfg.max_seed_rows
@@ -463,20 +444,9 @@ class ShardedHybridEngine:
 
     def hydrate_hits(self, result: QueryResult, row: int,
                      extra_meta: Optional[Dict[str, Any]] = None):
-        corpus = self.index.corpus
-        hits = result.hits.hydrate(row, id_fn=corpus.hit_id,
-                                   meta_fn=corpus.hit_meta,
-                                   extra_meta=extra_meta)
-        ids = np.asarray(result.hits.ids)[row]
-        j = 0
-        for i, rid in enumerate(ids.tolist()):
-            if rid < 0:
-                continue
-            for c, name in enumerate(("text", "graph", "dense")):
-                hits[j].meta[f"score_{name}_norm"] = float(
-                    result.channel_norms[c, row, i])
-            j += 1
-        return hits
+        from ..engine.query_engine import hydrate_result_hits
+
+        return hydrate_result_hits(self.index.corpus, result, row, extra_meta)
 
 
 def _tie_free_corpus(n_docs: int = 40, seed: int = 11):
@@ -521,7 +491,8 @@ def dryrun_check(mesh: Mesh) -> None:
     corpus, queries = _tie_free_corpus()
     idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
     cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
-                       bm25_term_topm=4096, batch_buckets=(8,))
+                       bm25_term_topm=4096, batch_buckets=(8,),
+                       graph_pool_exact=True)
     single = TPUQueryEngine(idx, config=cfg)
     sharded = ShardedHybridEngine(idx, mesh=mesh, config=cfg)
 
