@@ -101,6 +101,7 @@ class TPUHybridRetrievalBackend:
         encoder_layers: int = 2,
         mesh_axes: Optional[Dict[str, int]] = None,
         shard_axis: str = "data",
+        query_df_ratio_max: float = 0.0,
     ):
         self.router = router
         self.sink = sink
@@ -149,6 +150,7 @@ class TPUHybridRetrievalBackend:
                 bm25_term_topm=bm25_term_topm,
                 fusion_impl=fusion_impl,
                 batch_buckets=tuple(batch_buckets),
+                query_df_ratio_max=float(query_df_ratio_max),
             )
             self.engine = None
             if mesh_axes:

@@ -57,7 +57,8 @@ def main():
         t_build = time.time() - t0
     B = args.batch
     engine = TPUQueryEngine(idx, config=EngineConfig(
-        top_k=10, pool_k=args.pool_k, graph_window=2, batch_buckets=(B,)))
+        top_k=10, pool_k=args.pool_k, graph_window=2, batch_buckets=(B,),
+        query_df_ratio_max=0.05))
     qs = [s["question"] for s in samples[:B]]
 
     t0 = time.time()
