@@ -234,6 +234,8 @@ def run_engine_eval(samples: List[Dict[str, Any]], *, docs_path: Path,
     backend = TPUHybridRetrievalBackend(
         router=router, index_path=str(docs_path), graph_root=str(graph_root),
         embed_dim=embed_dim,
+        # the shipped production configuration (settings.yaml)
+        query_df_ratio_max=0.05,
     )
     index_build_sec = time.time() - t0
 
