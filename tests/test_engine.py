@@ -290,3 +290,35 @@ def test_long_query_term_truncation(packed):
     res = engine.query_batch([long_q])
     assert np.asarray(res.hits.ids).shape == (1, 5)
     assert (np.asarray(res.hits.ids) >= -1).all()
+
+
+def test_query_df_pruning(tmp_path):
+    """IDF-guided query pruning: high-df tokens drop, rare ones stay, and
+    a query of only high-df tokens falls back to the original."""
+    from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
+    from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+
+    samples = SyntheticHotpotQALoader({"count": 40, "seed": 3,
+                                       "unique_entities": True}).load()
+    idx = build_packed_index(SentenceCorpus.from_hotpotqa(samples),
+                             embed_dim=32, embed_dtype="float32")
+    engine = TPUQueryEngine(idx, config=EngineConfig(
+        top_k=5, pool_k=32, graph_window=1, batch_buckets=(8,),
+        query_df_ratio_max=0.05))
+    assert engine._high_df_terms and "born" in engine._high_df_terms
+    q = samples[0]["question"]
+    pruned = engine._prune_query(q)
+    assert "born" not in pruned.split()
+    assert len(pruned.split()) >= 1
+    # all-high-df query falls back unchanged
+    assert engine._prune_query("was born in") == "was born in"
+    # the engine still answers and pruning does not crash the pipeline
+    r = engine.query_batch([q], top_k=5)
+    assert (r.hits.ids >= 0).any()
+
+    off = TPUQueryEngine(idx, config=EngineConfig(
+        top_k=5, pool_k=32, graph_window=1, batch_buckets=(8,)))
+    assert off._high_df_terms is None
+    assert off._prune_query(q) == q
