@@ -175,6 +175,28 @@ def pick_bucket(buckets: Sequence[int], b: int) -> int:
     return b
 
 
+def build_high_df_terms(bm25, ratio: float, n_docs: int) -> Optional[set]:
+    """Tokens whose document frequency exceeds ratio * n_docs (the
+    idf-guided query-pruning set); None when pruning is off."""
+    if not ratio or not n_docs:
+        return None
+    df = np.asarray(bm25.df)
+    cutoff = ratio * n_docs
+    return {t for t, i in bm25.vocab.items() if df[i] > cutoff}
+
+
+def prune_query(q: str, high_df_terms: Optional[set]) -> str:
+    """Drop high-df tokens; fall back to the original when everything
+    would drop. NOTE: re-joining tokens fabricates hash-encoder bigrams
+    across pruned gaps — accepted: pruning was measured end-to-end with
+    exactly this behavior (recall 0.465 -> 0.887), and host prep overlaps
+    device execution in pipelined serving."""
+    if not high_df_terms or not q:
+        return q
+    kept = [t for t in tokenize(q) if t not in high_df_terms]
+    return " ".join(kept) if kept else q
+
+
 def encode_query_term_ids(variants: Sequence[Sequence[str]], E: int, T: int,
                           vocab: Dict[str, int], native_vocab=None) -> np.ndarray:
     """[B, E, T] int32 BM25 term ids (-1 padded); native lookup if available."""
@@ -276,13 +298,8 @@ class TPUQueryEngine:
         self._jit_cache: Dict[Tuple, Any] = {}
         # idf-guided query pruning (query_df_ratio_max): host-side set of
         # tokens too common to keep in queries
-        self._high_df_terms: Optional[set] = None
-        if self.config.query_df_ratio_max and self._n:
-            df = np.asarray(index.bm25.df)
-            cutoff = self.config.query_df_ratio_max * self._n
-            self._high_df_terms = {
-                t for t, i in index.bm25.vocab.items() if df[i] > cutoff
-            }
+        self._high_df_terms = build_high_df_terms(
+            index.bm25, self.config.query_df_ratio_max, self._n)
 
         try:
             from ..native import binding as _nb
@@ -294,12 +311,7 @@ class TPUQueryEngine:
             self._native_vocab = None
 
     def _prune_query(self, q: str) -> str:
-        """Drop high-df tokens (no-op unless query_df_ratio_max is set);
-        falls back to the original when everything would be dropped."""
-        if not self._high_df_terms or not q:
-            return q
-        kept = [t for t in tokenize(q) if t not in self._high_df_terms]
-        return " ".join(kept) if kept else q
+        return prune_query(q, self._high_df_terms)
 
     # ------------- host-side encoding -------------
 

@@ -234,8 +234,10 @@ def run_engine_eval(samples: List[Dict[str, Any]], *, docs_path: Path,
     backend = TPUHybridRetrievalBackend(
         router=router, index_path=str(docs_path), graph_root=str(graph_root),
         embed_dim=embed_dim,
-        # the shipped production configuration (settings.yaml)
+        # the shipped production configuration (settings.yaml):
+        # idf pruning + the pruning-sized phase-1 window
         query_df_ratio_max=0.05,
+        bm25_term_topm=32,
     )
     index_build_sec = time.time() - t0
 

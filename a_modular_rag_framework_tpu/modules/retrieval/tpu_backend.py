@@ -128,6 +128,15 @@ class TPUHybridRetrievalBackend:
             cfg_enc = EncoderConfig(d_model=embed_dim, n_layers=encoder_layers)
             encoder = TextEncoder.load(encoder_weights, cfg_enc)
 
+        # coupled knobs: the narrow phase-1 postings window is only safe
+        # when idf pruning keeps query terms rare (measured: topm=32 loses
+        # recall 0.47 -> 0.41 unpruned, is recall-neutral pruned)
+        if not query_df_ratio_max and int(bm25_term_topm) < 128:
+            logger.warning(
+                "bm25_term_topm=%d with query pruning OFF loses recall "
+                "(see docs/DESIGN.md); raise it to >=128 or set "
+                "query_df_ratio_max", bm25_term_topm)
+
         if engine is not None:
             self.engine = engine
         else:

@@ -198,14 +198,12 @@ class ShardedHybridEngine:
                 self._native_vocab = None
         except Exception:
             self._native_vocab = None
-        # idf-guided query pruning — same rule as TPUQueryEngine
-        self._high_df_terms: Optional[set] = None
-        if self.config.query_df_ratio_max and self._n:
-            df = np.asarray(index.bm25.df)
-            cutoff = self.config.query_df_ratio_max * self._n
-            self._high_df_terms = {
-                t for t, i in index.bm25.vocab.items() if df[i] > cutoff
-            }
+        # idf-guided query pruning — shared helper, same rule as
+        # TPUQueryEngine
+        from ..engine.query_engine import build_high_df_terms
+
+        self._high_df_terms = build_high_df_terms(
+            index.bm25, self.config.query_df_ratio_max, self._n)
 
     @property
     def n_shards(self) -> int:
@@ -405,15 +403,12 @@ class ShardedHybridEngine:
                                            trim_term_bucket)
 
         if self._high_df_terms:
-            from ..models.hash_embed import tokenize as _tok
+            from ..engine.query_engine import prune_query
 
-            def prune(q):
-                kept = [t for t in _tok(q) if t not in self._high_df_terms]
-                return " ".join(kept) if kept else q
-
-            queries = [prune(q) for q in queries]
+            queries = [prune_query(q, self._high_df_terms) for q in queries]
             if expansions is not None:
-                expansions = [[prune(e) for e in ex] for ex in expansions]
+                expansions = [[prune_query(e, self._high_df_terms)
+                               for e in ex] for ex in expansions]
         variants, E = prepare_query_variants(queries, expansions, B,
                                              cfg.qe_variants)
         originals = [v[0] if v else "" for v in variants]
