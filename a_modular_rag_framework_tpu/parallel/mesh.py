@@ -51,5 +51,17 @@ def build_mesh(
 
 
 def mesh_from_settings(settings: Dict[str, Any]) -> Mesh:
-    cfg = (settings.get("mesh") or {}).get("axes") or {"data": -1}
-    return build_mesh(dict(cfg))
+    """Mesh from the settings ``mesh:`` section.
+
+    ``dcn_axes`` (multi-slice scale-out) compose OUTERMOST — collectives
+    over the inner ``axes`` then ride ICI within a slice while the DCN
+    axes see only slice-boundary traffic (replicated index per slice; DP
+    over queries across slices). On a single slice leave it empty.
+    """
+    mesh_cfg = settings.get("mesh") or {}
+    axes = dict(mesh_cfg.get("axes") or {"data": -1})
+    dcn = dict(mesh_cfg.get("dcn_axes") or {})
+    merged = {**dcn, **axes}  # dict order: dcn axes first = outermost
+    if set(dcn) & set(axes):
+        raise ValueError(f"dcn_axes and axes share names: {set(dcn) & set(axes)}")
+    return build_mesh(merged)

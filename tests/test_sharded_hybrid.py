@@ -95,3 +95,32 @@ def test_mesh_settings_activate_sharded_engine(tmp_path):
                                     graph_id="", top_k=5, trace_id="t"))
     assert len(out.hits) > 0
     assert out.hits[0].id.startswith("sent::")
+
+
+def test_dcn_axes_compose_outermost():
+    """settings mesh.dcn_axes composes with mesh.axes (DCN outermost): the
+    sharded engine shards over the inner data axis while the DCN axis
+    replicates — the multi-slice layout, validated on the virtual mesh."""
+    from a_modular_rag_framework_tpu.parallel.mesh import mesh_from_settings
+    from a_modular_rag_framework_tpu.parallel.sharded_hybrid import (
+        _tie_free_corpus,
+    )
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+
+    mesh = mesh_from_settings(
+        {"mesh": {"axes": {"data": -1}, "dcn_axes": {"dcn": 2}}})
+    assert mesh.axis_names == ("dcn", "data")
+    assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+
+    corpus, queries = _tie_free_corpus()
+    idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
+    cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
+                       bm25_term_topm=4096, batch_buckets=(8,),
+                       graph_pool_exact=True)
+    single = TPUQueryEngine(idx, config=cfg)
+    sharded = ShardedHybridEngine(idx, mesh=mesh, axis="data", config=cfg)
+    assert sharded.n_shards == 4
+    r1 = single.query_batch(queries, top_k=10)
+    r2 = sharded.query_batch(queries, top_k=10)
+    np.testing.assert_array_equal(np.asarray(r1.hits.ids),
+                                  np.asarray(r2.hits.ids))
