@@ -140,6 +140,36 @@ def graph_bytes_account(engine, batch, device_ms) -> dict:
     }
 
 
+def dense_probe() -> dict:
+    """Compute-shaped dense retrieval probe (B=1024, N=131k, d=512 bf16):
+    the d=64 production path is bandwidth-bound, so this is where the
+    matmul path's real rate shows. Uses the approx_max_k variant (the
+    fastest of the three dense paths; overlap vs exact ~0.98)."""
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.topk import dense_topk_approx
+
+    rng = np.random.default_rng(0)
+    B, N, d, k = 1024, 131072, 512, 100
+    D = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    Q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    s, _ = dense_topk_approx(Q, D, k)
+    np.asarray(s)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        s, _ = dense_topk_approx(Q, D, k)
+        np.asarray(s)
+        best = min(best, time.time() - t0)
+    fl = 2.0 * B * N * d
+    return {
+        "dense_probe_ms": round(best * 1e3, 1),
+        "dense_probe_tflops": round(fl / best / 1e12, 2),
+        "dense_probe_shape": f"B{B}xN{N}xd{d}k{k}",
+    }
+
+
 def train_step_mfu() -> dict:
     """Encoder train step: analytic FLOPs vs measured step time."""
     import jax
@@ -241,6 +271,10 @@ def main() -> None:
     }
     extras.update(mfu_dense(engine, questions))
     extras.update(graph_bytes_account(engine, BATCH, device_ms))
+    try:
+        extras.update(dense_probe())
+    except Exception as e:
+        extras["dense_probe_error"] = repr(e)
     try:
         extras.update(train_step_mfu())
     except Exception as e:  # never fail the bench on the aux account

@@ -353,3 +353,16 @@ def test_expand_frontier_weighted_batched_matches_vmapped(rng):
     got_u = np.asarray(expand_frontier_weighted_batched(
         nbrs, jnp.asarray(mask[None].astype(np.float32)), window=2))[0]
     np.testing.assert_allclose(got_u, np.asarray(s_ref), rtol=1e-6)
+
+
+def test_dense_topk_approx_matches_exact_on_cpu(rng):
+    """approx_max_k is exact on CPU, so the approx path must equal the
+    oracle here; on TPU its measured overlap is ~0.98 (documented)."""
+    from a_modular_rag_framework_tpu.ops.topk import dense_topk
+
+    Q = rng.standard_normal((4, 32), dtype=np.float32)
+    D = rng.standard_normal((300, 32), dtype=np.float32)
+    s_a, i_a = dense_topk(jnp.asarray(Q), jnp.asarray(D), 8,
+                          use_pallas="approx")
+    s_x, i_x = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D), 8)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_x))
