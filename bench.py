@@ -93,10 +93,14 @@ def measure_throughput(engine, questions):
         r = engine.query_batch(questions)
         seq.append(time.time() - t0)
         device_ms.append(r.diagnostics["device_ms"])
-    t0 = time.time()
-    for _ in engine.query_batches_pipelined([questions] * PIPE_DEPTH):
-        pass
-    pipe_sec = (time.time() - t0) / PIPE_DEPTH
+    # best of 3 pipelined trials: the remote tunnel's RTT jitter moves a
+    # single trial +-10%; steady-state capability is the fastest pass
+    pipe_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in engine.query_batches_pipelined([questions] * PIPE_DEPTH):
+            pass
+        pipe_sec = min(pipe_sec, (time.time() - t0) / PIPE_DEPTH)
     return B / pipe_sec, B / min(seq), min(device_ms)
 
 
