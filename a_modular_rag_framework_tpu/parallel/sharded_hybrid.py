@@ -41,6 +41,7 @@ batch sizes at very large N, or frontier-capped expansion (future work).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -162,8 +163,10 @@ class ShardedHybridEngine:
         axis: str = "data",
         encoder: Optional[Any] = None,
         config: Optional[EngineConfig] = None,
+        sink: Optional[Any] = None,
     ):
         self.index = index
+        self.sink = sink
         self.mesh = mesh or build_mesh({axis: -1})
         self.axis = axis
         self.config = config or EngineConfig()
@@ -365,15 +368,24 @@ class ShardedHybridEngine:
 
     # ---- public API (mirrors TPUQueryEngine.query_batch) ----
 
-    def query_batch_async(self, queries: Sequence[str], **kw):
-        """API parity with TPUQueryEngine: the sharded program's collectives
-        already complete inside one dispatch, so 'async' here just defers
-        nothing — QueryServer can treat both engines uniformly."""
-        from ..engine.query_engine import PendingQuery
+    def query_batch(self, queries: Sequence[str], **kw) -> QueryResult:
+        """Synchronous query: dispatch + fetch in one call."""
+        pending = self.query_batch_async(queries, **kw)
+        pending._sync_timing = True
+        return pending.result()
 
-        return PendingQuery(done=self.query_batch(queries, **kw))
+    def query_batches_pipelined(self, batches: Sequence[Sequence[str]], **kw):
+        """One batch always in flight (same contract as TPUQueryEngine)."""
+        pending = None
+        for b in batches:
+            cur = self.query_batch_async(b, **kw)
+            if pending is not None:
+                yield pending.result()
+            pending = cur
+        if pending is not None:
+            yield pending.result()
 
-    def query_batch(
+    def query_batch_async(
         self,
         queries: Sequence[str],
         *,
@@ -382,16 +394,20 @@ class ShardedHybridEngine:
         top_k: Optional[int] = None,
         graph_window: Optional[int] = None,
         trace_id: str = "",
-    ) -> QueryResult:
+    ) -> "Any":
+        """Dispatch the sharded program without blocking on the fetch."""
+        from ..engine.query_engine import PendingQuery
+
         cfg = self.config
         B_real = len(queries)
         if self._n == 0 or B_real == 0:
             kk = top_k or cfg.top_k
             empty = HitBatch(ids=np.full((B_real, kk), -1, np.int32),
                              scores=np.zeros((B_real, kk), np.float32))
-            return QueryResult(hits=empty,
-                               channel_norms=np.zeros((3, B_real, kk)),
-                               diagnostics={"empty_index": self._n == 0})
+            return PendingQuery(done=QueryResult(
+                hits=empty,
+                channel_norms=np.zeros((3, B_real, kk)),
+                diagnostics={"empty_index": self._n == 0}))
 
         k = min(int(top_k or cfg.top_k), self._n)
         window = (cfg.graph_window if graph_window is None
@@ -429,30 +445,16 @@ class ShardedHybridEngine:
         key = (B, E, T_eff, S, pool_k, k, window, seeds_explicit)
         fn = self._program(key)
         a = self._arr
+        t0 = time.time()
         f32_pack, i32_pack = fn(
             jnp.asarray(q_emb), jnp.asarray(term_ids), jnp.asarray(seed_arr),
             a["csr_doc_ids"], a["csr_scores"], a["csr_row_ptr"],
             a["emb"], a["doc_terms"], a["doc_scores"], a["nbrs"],
         )
-        f32_pack = np.asarray(f32_pack)
-        i32_pack = np.asarray(i32_pack)
-        top_s = f32_pack[:B_real, :k]
-        norms_at = np.moveaxis(
-            f32_pack[:B_real, k:].reshape(B_real, 3, k), 1, 0)
-        top_i = i32_pack[:B_real, :k]
-        counts = i32_pack[:B_real, k:]
-
-        return QueryResult(
-            hits=HitBatch(ids=top_i, scores=top_s),
-            channel_norms=norms_at,
-            diagnostics={
-                "bm25_candidates": int(counts[:, 0].sum()),
-                "graph_candidates": int(counts[:, 1].sum()),
-                "dense_scored": int(counts[:, 2].sum()),
-                "n_shards": self.n_shards,
-                "pool": {"bm25_pool_k": pool_k, "final_top_k": k},
-                "graph_window_used": window,
-            },
+        return _ShardedPending(
+            engine=self, f32_pack=f32_pack, i32_pack=i32_pack, B=B,
+            B_real=B_real, k=k, pool_k=pool_k, window=window, t0=t0,
+            trace_id=trace_id, n_shards=self.n_shards,
         )
 
     def hydrate_hits(self, result: QueryResult, row: int,
@@ -460,6 +462,29 @@ class ShardedHybridEngine:
         from ..engine.query_engine import hydrate_result_hits
 
         return hydrate_result_hits(self.index.corpus, result, row, extra_meta)
+
+
+class _ShardedPending:
+    """PendingQuery wrapper adding the shard count to diagnostics."""
+
+    def __init__(self, *, n_shards: int, **kw):
+        from ..engine.query_engine import PendingQuery
+
+        self._inner = PendingQuery(**kw)
+        self._n_shards = n_shards
+
+    @property
+    def _sync_timing(self):
+        return self._inner._sync_timing
+
+    @_sync_timing.setter
+    def _sync_timing(self, v):
+        self._inner._sync_timing = v
+
+    def result(self) -> QueryResult:
+        r = self._inner.result()
+        r.diagnostics["n_shards"] = self._n_shards
+        return r
 
 
 def _tie_free_corpus(n_docs: int = 40, seed: int = 11):
