@@ -31,6 +31,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     try:
         import jax
 
+        # numeric sanitizer (SURVEY §5 "race detection/sanitizers" TPU
+        # equivalent): fail fast on NaN/Inf escaping any jitted program
+        if os.environ.get("AMRF_DEBUG_NANS") == "1":
+            jax.config.update("jax_debug_nans", True)
+
         path = (cache_dir
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                 or str(Path.home() / ".cache" / "amrf_tpu_jax_cache"))
