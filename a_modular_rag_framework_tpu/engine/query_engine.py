@@ -48,7 +48,8 @@ from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels, fuse_pools_compact
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
                          expand_frontier_weighted_batched,
-                         expand_frontier_weighted_capped)
+                         expand_frontier_weighted_capped,
+                         expand_frontier_weighted_compact)
 from ..telemetry.sinks import TelemetrySink, record_device_timing
 
 
@@ -74,6 +75,20 @@ class EngineConfig:
     graph_seed_weighted: bool = True
     batch_buckets: Tuple[int, ...] = (1, 8, 64, 256)
     frontier_cap: Optional[int] = None
+    # graph channel formulation:
+    #   "dense"   — [B, N] wave buffers (exact, right at small N)
+    #   "compact" — N-independent sort-aggregate frontier
+    #               (ops.graph.expand_frontier_weighted_compact): the wave is
+    #               a (ids, vals) pair of width graph_compact_cap; cost no
+    #               longer scales with the corpus, unlocking large batches at
+    #               1M+ rows. Exact while each hop's live frontier fits the
+    #               cap (else weakest-node truncation, same as frontier_cap).
+    #   "auto"    — compact when the [B, N] buffers exceed ~256MB and fusion
+    #               is pool-compact; dense otherwise
+    graph_impl: str = "auto"
+    # hop-2 sort width is cap*deg: 256 measured best at B=2048/deg=34
+    # (9.26k q/s vs 6.19k at 512 on the 101k corpus, recall unchanged)
+    graph_compact_cap: int = 256
     # graph pool selection uses the TPU's approx_max_k above 32k rows
     # (exact top_k lowers to a full per-row sort); set True to force the
     # exact path — required when bit-for-bit agreement with the sharded
@@ -365,6 +380,14 @@ class TPUQueryEngine:
         alphas = jnp.asarray(
             [cfg.alpha_text, cfg.alpha_graph, cfg.alpha_dense], dtype=jnp.float32
         )
+        if cfg.graph_impl == "compact" and cfg.fusion_impl != "compact":
+            raise ValueError(
+                "graph_impl='compact' requires fusion_impl='compact' "
+                "(the dense fusion oracle needs [B, N] graph scores)")
+        use_compact_graph = cfg.fusion_impl == "compact" and (
+            cfg.graph_impl == "compact"
+            or (cfg.graph_impl == "auto" and B * n * 4 > 256 << 20)
+        )
 
         def _pack_outputs(top_s, top_i, norms_at, counts):
             # two output arrays instead of four: each device->host transfer
@@ -431,11 +454,55 @@ class TPUQueryEngine:
             dense_pool = jnp.where(pool_valid, dense_pool, 0.0)
 
             # ---- graph channel: frontier expansion with hop decay ----
-            # the vmapped row-gather expansion materializes [B, N, deg] f32
-            # per hop; when that exceeds ~2GB, switch to the batched
-            # per-degree-column formulation (same semantics and bytes, no
-            # giant intermediate — 27GB at B=2048/N=100k/deg=34 otherwise).
-            # An explicit cfg.frontier_cap still selects the capped variant.
+            if use_compact_graph:
+                # N-independent path: compact seeds -> compact waves ->
+                # compact pool. No [B, N] buffer exists anywhere in the
+                # program in this mode (BM25 is sorted/pool, dense is pool,
+                # fusion is pool-compact), so batch size is no longer
+                # capped by corpus size.
+                P_g = min(pool_k, n)
+                if seeds_explicit:
+                    c_seed_ids = seed_rows
+                    c_seed_vals = (seed_rows >= 0).astype(jnp.float32)
+                else:
+                    S_eff = min(S, pool_k)
+                    top_seed_s, seed_pos = jax.lax.top_k(pool_s, S_eff)
+                    c_seed_ids = jnp.take_along_axis(pool_i, seed_pos, axis=1)
+                    seed_ok = (top_seed_s > 0) & (c_seed_ids >= 0)
+                    if cfg.graph_seed_weighted:
+                        denom = jnp.maximum(top_seed_s[:, :1], 1e-9)
+                        c_seed_vals = jnp.where(
+                            seed_ok, top_seed_s / denom, 0.0)
+                    else:
+                        c_seed_vals = seed_ok.astype(jnp.float32)
+                g_pool_s, g_pool_i = expand_frontier_weighted_compact(
+                    nbrs, c_seed_ids, c_seed_vals, window=window,
+                    cap=cfg.graph_compact_cap, out_k=P_g,
+                )
+                g_valid = (g_pool_s > 0) & (g_pool_i >= 0)
+                counts = jnp.stack(
+                    [jnp.sum(pool_valid, axis=1), jnp.sum(g_valid, axis=1),
+                     jnp.sum(pool_valid, axis=1)], axis=1,
+                )
+                # graph value at text-pool ids = membership lookup in the
+                # graph pool (fuse_pools_compact ignores sub-g_lo values, so
+                # the top-P_g pool is a sufficient statistic for fusion)
+                eq = pool_i[:, :, None] == jnp.where(
+                    g_valid, g_pool_i, -2)[:, None, :]
+                t_graph_raw = jnp.max(
+                    jnp.where(eq, g_pool_s[:, None, :], 0.0), axis=2)
+                top_s, top_i, norms_at = fuse_pools_compact(
+                    pool_s, pool_i, pool_valid, dense_pool, t_graph_raw,
+                    g_pool_s, g_pool_i, g_valid, alphas=alphas, k=k, n=n,
+                )
+                return _pack_outputs(top_s, top_i, norms_at, counts)
+
+            # dense path: the vmapped row-gather expansion materializes
+            # [B, N, deg] f32 per hop; when that exceeds ~2GB, switch to the
+            # batched per-degree-column formulation (same semantics and
+            # bytes, no giant intermediate — 27GB at B=2048/N=100k/deg=34
+            # otherwise). An explicit cfg.frontier_cap still selects the
+            # capped variant.
             deg = int(nbrs.shape[1]) if getattr(nbrs, "ndim", 0) == 2 else 1
             frontier_cap = cfg.frontier_cap
             use_batched_expand = (

@@ -216,6 +216,105 @@ def expand_frontier_weighted_batched(
     return best
 
 
+def _segmax_by_id(ids: jax.Array, vals: jax.Array, n: int):
+    """Dedup-max (ids, vals) rows by id with ONE two-key sort.
+
+    Sorting lexicographically by (id asc, -val asc) places each equal-id
+    run's maximum at the run START, so no scan is needed at all: the
+    per-id max is simply ``vals`` masked to run-start positions. Returns
+    ``(sorted_ids, sorted_vals, is_run_start)``; pad entries use id ``n``
+    and sort to the end. This is the gather/sort dedup primitive (TPU
+    rule: sorts and gathers beat scatters — the same pattern as the
+    sorted BM25 phase-1 aggregation). A segmented associative_scan
+    formulation compiled pathologically on TPU (remote compile never
+    returned at width ~7k); the two-key variadic sort is one HLO.
+    """
+    d, neg_v = jax.lax.sort((ids, -vals), dimension=1, num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones_like(d[:, :1], dtype=jnp.bool_), d[:, 1:] != d[:, :-1]],
+        axis=1,
+    )
+    return d, -neg_v, first
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "cap", "out_k")
+)
+def expand_frontier_weighted_compact(
+    neighbors: jax.Array,  # [N, deg] int32, -1 padded (symmetric)
+    seed_ids: jax.Array,   # [B, S] int32 global rows, -1 padded
+    seed_vals: jax.Array,  # [B, S] f32 seed strengths (<=0 = invalid)
+    *,
+    window: int,
+    cap: int = 512,
+    out_k: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fully compact `expand_frontier_weighted`: no [B, N] buffer anywhere.
+
+    The wave lives as a compact (ids, vals) pair of width <= ``cap``; each
+    hop gathers only the adjacency rows of the current wave ([B, C, deg]
+    instead of deg x [B, N] — at N=1M, B=2048 the dense-batched form moves
+    ~130GB/hop where this moves ~67MB/hop), dedup-maxes the candidate ids
+    by sort + segmented scan, and keeps the strongest ``cap``. The final
+    pool is the dedup-max over all hops' (id, val*decay[h]) union, cut to
+    ``out_k``. Cost is independent of the corpus size N.
+
+    Truncation contract (same as `expand_frontier_weighted_capped`): only
+    the top-``cap`` wave nodes PROPAGATE to the next hop, but every node a
+    propagating hop reaches is recorded. Identical to
+    `expand_frontier_weighted` whenever each hop's live frontier fits in
+    ``cap`` and the reached set fits in ``out_k`` (reference semantics:
+    graph_utils.py:58-129 hop-decay BFS, pool-cut to the engine's graph
+    pool).
+
+    Returns ``(g_scores [B, out_k] f32, g_ids [B, out_k] int32, -1 padded)``
+    sorted by descending score.
+    """
+    N, deg = neighbors.shape
+    B, S = seed_ids.shape
+    decay = jnp.asarray(hop_decay_table(max(window, 0)))
+
+    valid0 = (seed_ids >= 0) & (seed_vals > 0)
+    wave_ids = jnp.where(valid0, seed_ids, N)
+    wave_vals = jnp.where(valid0, seed_vals, 0.0)
+    acc_ids = [wave_ids]
+    acc_vals = [wave_vals * decay[0]]
+    for h in range(1, max(window, 0) + 1):
+        # only the top-``cap`` wave nodes propagate (the
+        # expand_frontier_weighted_capped contract — the seed wave too)...
+        C = min(cap, wave_vals.shape[1])
+        src_vals, pos = jax.lax.top_k(wave_vals, C)
+        src_ids = jnp.take_along_axis(wave_ids, pos, axis=1)
+        rows = jnp.take(
+            neighbors, jnp.clip(src_ids, 0, max(N - 1, 0)), axis=0
+        )  # [B, C, deg] — gather only the propagating wave's rows
+        live = (
+            (src_vals > 0)[:, :, None]
+            & (src_ids < N)[:, :, None]
+            & (rows >= 0)
+        )
+        cand_ids = jnp.where(live, rows, N).reshape(B, -1)
+        cand_vals = jnp.where(
+            live, jnp.broadcast_to(src_vals[:, :, None], rows.shape), 0.0
+        ).reshape(B, -1)
+        d, v, start = _segmax_by_id(cand_ids, cand_vals, N)
+        reached = start & (d < N)
+        # ...but every node a propagating hop reaches is recorded
+        wave_ids = jnp.where(reached, d, N)
+        wave_vals = jnp.where(reached, v, 0.0)
+        acc_ids.append(wave_ids)
+        acc_vals.append(wave_vals * decay[h])
+
+    u_ids = jnp.concatenate(acc_ids, axis=1)
+    u_vals = jnp.concatenate(acc_vals, axis=1)
+    d, v, start = _segmax_by_id(u_ids, u_vals, N)
+    end_vals = jnp.where(start & (d < N), v, 0.0)
+    K = min(out_k, end_vals.shape[1])
+    g_s, pos = jax.lax.top_k(end_vals, K)
+    g_i = jnp.where(g_s > 0, jnp.take_along_axis(d, pos, axis=1), -1)
+    return g_s, g_i
+
+
 def build_neighbor_table(
     n_nodes: int,
     edges_src: np.ndarray,

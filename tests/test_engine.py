@@ -322,3 +322,45 @@ def test_query_df_pruning(tmp_path):
         top_k=5, pool_k=32, graph_window=1, batch_buckets=(8,)))
     assert off._high_df_terms is None
     assert off._prune_query(q) == q
+
+
+def test_graph_impl_compact_matches_dense_both_seed_modes():
+    """The N-independent compact graph channel == the dense [B, N] one on a
+    tie-free corpus, in derived-seed and explicit-seed modes (ids AND
+    scores). Compact is the scale path (no [B, N] buffer in the program);
+    dense is the oracle."""
+    samples = SyntheticHotpotQALoader({"count": 24, "seed": 5,
+                                       "unique_entities": True}).load()
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
+    qs = [s["question"] for s in samples]
+    base = dict(top_k=10, pool_k=64, graph_window=2, bm25_term_topm=4096,
+                batch_buckets=(32,))
+    e_d = TPUQueryEngine(idx, config=EngineConfig(graph_impl="dense", **base))
+    e_c = TPUQueryEngine(idx, config=EngineConfig(
+        graph_impl="compact", graph_compact_cap=2048, **base))
+
+    r_d = e_d.query_batch(qs, top_k=10)
+    r_c = e_c.query_batch(qs, top_k=10)
+    np.testing.assert_array_equal(np.asarray(r_d.hits.ids),
+                                  np.asarray(r_c.hits.ids))
+    np.testing.assert_allclose(np.asarray(r_d.hits.scores),
+                               np.asarray(r_c.hits.scores), atol=1e-5)
+
+    # explicit q_match-style seeds (parity mode)
+    seeds = [[int(i) for i in np.asarray(r_d.hits.ids)[row][:4] if i >= 0]
+             for row in range(len(qs))]
+    r_ds = e_d.query_batch(qs, seed_rows=seeds, top_k=10)
+    r_cs = e_c.query_batch(qs, seed_rows=seeds, top_k=10)
+    np.testing.assert_array_equal(np.asarray(r_ds.hits.ids),
+                                  np.asarray(r_cs.hits.ids))
+    np.testing.assert_allclose(np.asarray(r_ds.hits.scores),
+                               np.asarray(r_cs.hits.scores), atol=1e-5)
+
+
+def test_graph_impl_compact_requires_compact_fusion(packed):
+    idx, _ = packed
+    eng = TPUQueryEngine(idx, config=EngineConfig(
+        graph_impl="compact", fusion_impl="dense", batch_buckets=(8,)))
+    with pytest.raises(ValueError, match="compact"):
+        eng.query_batch(["anything"])

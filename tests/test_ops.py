@@ -366,3 +366,68 @@ def test_dense_topk_approx_matches_exact_on_cpu(rng):
                           use_pallas="approx")
     s_x, i_x = dense_topk_xla(jnp.asarray(Q), jnp.asarray(D), 8)
     np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_x))
+
+
+def test_compact_weighted_expansion_matches_dense(rng):
+    """The N-independent compact expansion == the dense [N] formulation
+    whenever cap/out_k cover the reached set (then it is exact, per
+    docstring), including multi-hop decay and -1/zero-value seed padding."""
+    from a_modular_rag_framework_tpu.ops.graph import (
+        expand_frontier_weighted,
+        expand_frontier_weighted_compact,
+    )
+
+    N, B, S = 200, 6, 8
+    src = rng.integers(0, N, 500)
+    dst = rng.integers(0, N, 500)
+    nbrs = jnp.asarray(build_neighbor_table(N, src, dst, 16))
+    seed_ids = rng.integers(0, N, size=(B, S)).astype(np.int32)
+    seed_ids[0, :3] = -1
+    seed_vals = rng.random((B, S)).astype(np.float32)
+    seed_vals[1, :2] = 0.0
+
+    for window in (0, 1, 2, 3):
+        dense = []
+        for b in range(B):
+            sv = np.zeros((N,), np.float32)
+            for j in range(S):
+                if seed_ids[b, j] >= 0 and seed_vals[b, j] > 0:
+                    sv[seed_ids[b, j]] = max(sv[seed_ids[b, j]],
+                                             seed_vals[b, j])
+            dense.append(np.asarray(expand_frontier_weighted(
+                nbrs, jnp.asarray(sv), window=window)))
+        dense = np.stack(dense)
+        g_s, g_i = expand_frontier_weighted_compact(
+            nbrs, jnp.asarray(seed_ids), jnp.asarray(seed_vals),
+            window=window, cap=N, out_k=N)
+        rec = np.zeros((B, N), np.float32)
+        g_s, g_i = np.asarray(g_s), np.asarray(g_i)
+        for b in range(B):
+            for v, i in zip(g_s[b], g_i[b]):
+                if i >= 0:
+                    rec[b, i] = v
+        np.testing.assert_allclose(rec, dense, atol=1e-6)
+
+
+def test_compact_expansion_small_cap_keeps_strongest(rng):
+    """With cap=1 only the strongest wave node propagates — the same
+    weakest-node truncation contract as expand_frontier_weighted_capped."""
+    from a_modular_rag_framework_tpu.ops.graph import (
+        expand_frontier_weighted_compact,
+    )
+
+    # star: 0-1, 0-2; chain 3-4. Seeds: 0 (strong), 3 (weak).
+    nbrs = jnp.asarray(build_neighbor_table(
+        5, np.array([0, 0, 3]), np.array([1, 2, 4]), 4))
+    seed_ids = np.array([[0, 3]], dtype=np.int32)
+    seed_vals = np.array([[1.0, 0.4]], dtype=np.float32)
+    g_s, g_i = expand_frontier_weighted_compact(
+        nbrs, jnp.asarray(seed_ids), jnp.asarray(seed_vals),
+        window=1, cap=1, out_k=5)
+    got = {int(i): float(v) for v, i in zip(np.asarray(g_s)[0],
+                                            np.asarray(g_i)[0]) if i >= 0}
+    # seeds keep decay0 scores; only node 0's neighbors get hop-1 scores
+    assert got[0] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(0.4)
+    assert got[1] == pytest.approx(0.7) and got[2] == pytest.approx(0.7)
+    assert 4 not in got  # node 3 was truncated from the propagating wave

@@ -1,10 +1,12 @@
 """One-million-passage scale check (VERDICT r1 item 3: "ideally 1M").
 
 Builds a ~1M-sentence synthetic corpus (47k samples), packs it, and runs
-the hybrid engine at a batch size whose graph wave buffers fit HBM
-(B*N*4 bytes per [B, N] buffer; B=256 -> ~1GB each).
+the hybrid engine. With graph_impl=auto the compact (N-independent) graph
+channel kicks in, so no [B, N] buffer exists anywhere in the program and
+B=2048 fits HBM even at 1M rows; --graph_impl dense restores the [B, N]
+wave formulation (then keep --batch <= 256: ~1GB per [B, N] buffer).
 
-  python tools/bench_1m.py [--batch 256] [--samples 47000]
+  python tools/bench_1m.py [--batch 2048] [--samples 47000]
 """
 from __future__ import annotations
 
@@ -24,8 +26,12 @@ CACHE = Path(__file__).resolve().parents[1] / "data" / "bench_cache_1m"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=47000)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--pool_k", type=int, default=200)
+    ap.add_argument("--graph_impl", default="auto",
+                    choices=["auto", "dense", "compact"])
+    ap.add_argument("--cap", type=int, default=256,
+                    help="compact-mode propagation cap per hop")
     args = ap.parse_args()
 
     from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
@@ -58,7 +64,8 @@ def main():
     B = args.batch
     engine = TPUQueryEngine(idx, config=EngineConfig(
         top_k=10, pool_k=args.pool_k, graph_window=2, batch_buckets=(B,),
-        query_df_ratio_max=0.05))
+        query_df_ratio_max=0.05, graph_impl=args.graph_impl,
+        graph_compact_cap=args.cap))
     qs = [s["question"] for s in samples[:B]]
 
     t0 = time.time()
