@@ -270,7 +270,35 @@ def expand_frontier_weighted_compact(
     Returns ``(g_scores [B, out_k] f32, g_ids [B, out_k] int32, -1 padded)``
     sorted by descending score.
     """
-    N, deg = neighbors.shape
+    N, _ = neighbors.shape
+
+    def gather_rows(src_ids):
+        # [B, C, deg] — gather only the propagating wave's rows
+        return jnp.take(neighbors, jnp.clip(src_ids, 0, max(N - 1, 0)), axis=0)
+
+    return expand_frontier_weighted_compact_core(
+        gather_rows, seed_ids, seed_vals, n_nodes=N, window=window,
+        cap=cap, out_k=out_k)
+
+
+def expand_frontier_weighted_compact_core(
+    gather_rows,
+    seed_ids: jax.Array,
+    seed_vals: jax.Array,
+    *,
+    n_nodes: int,
+    window: int,
+    cap: int,
+    out_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Trace-time core of `expand_frontier_weighted_compact` with a
+    pluggable row gather, so the sharded engine can run the IDENTICAL
+    compact expansion with its adjacency rows sharded over the mesh
+    (``gather_rows(src_ids [B, C]) -> [B, C, deg]`` does an owned-rows
+    local gather + a `pmax` all-reduce there). Everything after the gather
+    is the same traced computation, so single-chip and sharded agree
+    bit-for-bit."""
+    N = n_nodes
     B, S = seed_ids.shape
     decay = jnp.asarray(hop_decay_table(max(window, 0)))
 
@@ -285,9 +313,7 @@ def expand_frontier_weighted_compact(
         C = min(cap, wave_vals.shape[1])
         src_vals, pos = jax.lax.top_k(wave_vals, C)
         src_ids = jnp.take_along_axis(wave_ids, pos, axis=1)
-        rows = jnp.take(
-            neighbors, jnp.clip(src_ids, 0, max(N - 1, 0)), axis=0
-        )  # [B, C, deg] — gather only the propagating wave's rows
+        rows = gather_rows(src_ids)  # [B, C, deg]
         live = (
             (src_vals > 0)[:, :, None]
             & (src_ids < N)[:, :, None]

@@ -34,9 +34,16 @@ engine is always exact, so bit-for-bit claims at large n require
 ``graph_pool_exact=True`` on the single-chip side.
 
 Memory: index rows (embeddings, CSR, doc tables, adjacency) are fully
-sharded — per-chip residency is N/s rows. The graph wave is [B, N]
-replicated during expansion (same as the single-chip engine); use modest
-batch sizes at very large N, or frontier-capped expansion (future work).
+sharded — per-chip residency is N/s rows. The graph channel follows
+``EngineConfig.graph_impl``: the dense formulation keeps a replicated
+[B, N] wave during expansion (right at small N), while ``compact``
+(auto-selected above the same ~256MB threshold as the single-chip engine)
+keeps the wave as (ids, vals) pairs and rebuilds each hop's [B, C, deg]
+candidate rows with an owned-rows local gather + one ``pmax`` all-reduce —
+no [B, N] buffer anywhere in the sharded program, so large batches work at
+1M+ rows per shard. Both formulations are bit-for-bit against their
+single-chip counterparts (`ops.graph.expand_frontier_weighted_compact_core`
+is literally the shared trace).
 """
 from __future__ import annotations
 
@@ -55,7 +62,8 @@ from ..index.packed import PackedIndex
 from ..models.hash_embed import HashEmbedEncoder
 from ..ops.bm25 import bm25_rescore_pool, bm25_topk_sorted
 from ..ops.fusion import fuse_pools_compact
-from ..ops.graph import hop_decay_table
+from ..ops.graph import (expand_frontier_weighted_compact_core,
+                         hop_decay_table)
 from .mesh import build_mesh
 
 
@@ -243,6 +251,12 @@ class ShardedHybridEngine:
         decay = jnp.asarray(hop_decay_table(max(window, 0)))
         topm = min(cfg.bm25_term_topm,
                    max(int(self._arr["csr_doc_ids"].shape[1]), 1))
+        # graph formulation — mirrors TPUQueryEngine's rule (fusion here is
+        # always pool-compact, so only the buffer-size condition applies)
+        if cfg.graph_impl not in ("auto", "dense", "compact"):
+            raise ValueError(f"unknown graph_impl {cfg.graph_impl!r}")
+        use_compact_graph = cfg.graph_impl == "compact" or (
+            cfg.graph_impl == "auto" and B * n_pad * 4 > 256 << 20)
 
         def merge_pools(local_s, local_i):
             """all_gather per-shard pools -> global top pool_k (replicated).
@@ -293,6 +307,62 @@ class ShardedHybridEngine:
                                pool_emb.astype(jnp.float32),
                                preferred_element_type=jnp.float32)
             dense_pool = jax.lax.psum(jnp.where(owned, dense, 0.0), axis)
+
+            # ---- graph: compact N-independent path ----
+            if use_compact_graph:
+                # compact seeds, exactly as TPUQueryEngine's compact branch
+                if seeds_explicit:
+                    c_seed_ids = seed_rows
+                    c_seed_vals = (seed_rows >= 0).astype(jnp.float32)
+                else:
+                    S_eff = min(S, pool_k)
+                    top_seed_s, seed_pos = jax.lax.top_k(pool_s, S_eff)
+                    c_seed_ids = jnp.take_along_axis(pool_i, seed_pos, axis=1)
+                    seed_ok = (top_seed_s > 0) & (c_seed_ids >= 0)
+                    if cfg.graph_seed_weighted:
+                        denom = jnp.maximum(top_seed_s[:, :1], 1e-9)
+                        c_seed_vals = jnp.where(
+                            seed_ok, top_seed_s / denom, 0.0)
+                    else:
+                        c_seed_vals = seed_ok.astype(jnp.float32)
+
+                def gather_rows(src_ids):
+                    # each wave node's adjacency row lives on exactly one
+                    # shard: gather it there (non-owned slots -1) and
+                    # rebuild the replicated [B, C, deg] rows with one
+                    # pmax all-reduce (C*deg*4 bytes/query vs the dense
+                    # path's n_local*deg*4 gather — N-independent).
+                    owned = (src_ids >= lo) & (src_ids < lo + n_local)
+                    local_rows = jnp.where(owned, src_ids - lo, 0)
+                    rows_l = jnp.take(nbrs_l, local_rows, axis=0)
+                    rows_l = jnp.where(owned[:, :, None], rows_l, -1)
+                    return jax.lax.pmax(rows_l, axis)
+
+                P_g = min(pool_k, n)
+                g_pool_s, g_pool_i = expand_frontier_weighted_compact_core(
+                    gather_rows, c_seed_ids, c_seed_vals, n_nodes=n,
+                    window=window, cap=cfg.graph_compact_cap, out_k=P_g)
+                g_valid = (g_pool_s > 0) & (g_pool_i >= 0)
+                counts = jnp.stack(
+                    [jnp.sum(pool_valid, axis=1), jnp.sum(g_valid, axis=1),
+                     jnp.sum(pool_valid, axis=1)], axis=1)
+                # graph value at text-pool ids = membership lookup in the
+                # graph pool (same sufficient-statistic trick as the
+                # single-chip compact branch)
+                eq = pool_i[:, :, None] == jnp.where(
+                    g_valid, g_pool_i, -2)[:, None, :]
+                t_graph_raw = jnp.max(
+                    jnp.where(eq, g_pool_s[:, None, :], 0.0), axis=2)
+                top_s, top_i, norms_at = fuse_pools_compact(
+                    pool_s, pool_i, pool_valid, dense_pool, t_graph_raw,
+                    g_pool_s, g_pool_i, g_valid, alphas=alphas, k=k, n=n,
+                )
+                f32_pack = jnp.concatenate(
+                    [top_s, norms_at.reshape(B, -1)], axis=1)
+                i32_pack = jnp.concatenate(
+                    [top_i.astype(jnp.int32), counts.astype(jnp.int32)],
+                    axis=1)
+                return f32_pack, i32_pack
 
             # ---- graph: seed wave, sharded gather-max per hop ----
             if seeds_explicit:
@@ -528,25 +598,29 @@ def dryrun_check(mesh: Mesh) -> None:
 
     corpus, queries = _tie_free_corpus()
     idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
-    cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
-                       bm25_term_topm=4096, batch_buckets=(8,),
-                       graph_pool_exact=True)
-    single = TPUQueryEngine(idx, config=cfg)
-    sharded = ShardedHybridEngine(idx, mesh=mesh, config=cfg)
+    for graph_impl in ("dense", "compact"):
+        cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
+                           bm25_term_topm=4096, batch_buckets=(8,),
+                           graph_pool_exact=True, graph_impl=graph_impl,
+                           graph_compact_cap=64)
+        single = TPUQueryEngine(idx, config=cfg)
+        sharded = ShardedHybridEngine(idx, mesh=mesh, config=cfg)
 
-    def check(kw, mode):
-        r1 = single.query_batch(queries, top_k=10, **kw)
-        r2 = sharded.query_batch(queries, top_k=10, **kw)
-        if not np.array_equal(np.asarray(r1.hits.ids),
-                              np.asarray(r2.hits.ids)):
-            raise RuntimeError(
-                f"sharded hybrid ids diverge from single-chip ({mode})")
-        if not np.allclose(np.asarray(r1.hits.scores),
-                           np.asarray(r2.hits.scores), atol=1e-5):
-            raise RuntimeError(
-                f"sharded hybrid scores diverge from single-chip ({mode})")
+        def check(kw, mode):
+            r1 = single.query_batch(queries, top_k=10, **kw)
+            r2 = sharded.query_batch(queries, top_k=10, **kw)
+            if not np.array_equal(np.asarray(r1.hits.ids),
+                                  np.asarray(r2.hits.ids)):
+                raise RuntimeError(
+                    f"sharded hybrid ids diverge from single-chip "
+                    f"({mode}, graph_impl={graph_impl})")
+            if not np.allclose(np.asarray(r1.hits.scores),
+                               np.asarray(r2.hits.scores), atol=1e-5):
+                raise RuntimeError(
+                    f"sharded hybrid scores diverge from single-chip "
+                    f"({mode}, graph_impl={graph_impl})")
 
-    check({}, "derived seeds")
-    seeds = [[(3 * i) % idx.n_docs, (7 * i + 1) % idx.n_docs]
-             for i in range(len(queries))]
-    check({"seed_rows": seeds}, "explicit seeds")
+        check({}, "derived seeds")
+        seeds = [[(3 * i) % idx.n_docs, (7 * i + 1) % idx.n_docs]
+                 for i in range(len(queries))]
+        check({"seed_rows": seeds}, "explicit seeds")
