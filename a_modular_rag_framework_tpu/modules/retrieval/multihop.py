@@ -98,6 +98,84 @@ def iterative_retrieve(
     r1 = engine.query_batch(list(queries), expansions=expansions,
                             seed_rows=seed_rows, top_k=max(top_k, hop1_inspect),
                             graph_window=graph_window, trace_id=trace_id)
+    ctx, p2 = _prep_and_dispatch_hop2(
+        engine, list(queries), r1, top_k=top_k, hop1_inspect=hop1_inspect,
+        max_bridge_entities=max_bridge_entities, graph_window=graph_window,
+        trace_id=trace_id)
+    return _merge_hop2(list(queries), ctx,
+                       p2.result() if p2 is not None else None,
+                       top_k=top_k, hop_decay=hop_decay,
+                       hop2_reserve=hop2_reserve)
+
+
+def iterative_retrieve_pipelined(
+    engine,
+    batches: Sequence[Sequence[str]],
+    *,
+    top_k: int,
+    hop1_inspect: int = 20,
+    hop_decay: float = 0.5,
+    hop2_reserve: Optional[int] = None,
+    max_bridge_entities: int = 4,
+    graph_window: Optional[int] = None,
+    trace_id: str = "",
+):
+    """Pipelined `iterative_retrieve` over a stream of query batches.
+
+    Three stages, one batch deep each — hop-1 dispatch, hop-2 dispatch,
+    merge — so the device queue always holds the NEXT batch's hop-1
+    program while the host does bridge extraction / merging for the
+    previous one (the same one-in-flight discipline as
+    `TPUQueryEngine.query_batches_pipelined`). Yields one
+    ``(ids, scores, norms, diagnostics)`` tuple per input batch, in order.
+    """
+    from collections import deque
+
+    kw1 = dict(top_k=top_k, hop1_inspect=hop1_inspect,
+               max_bridge_entities=max_bridge_entities,
+               graph_window=graph_window, trace_id=trace_id)
+    q1: deque = deque()  # (queries, pending hop-1)
+    q2: deque = deque()  # (queries, ctx, pending hop-2 | None)
+
+    def advance1():
+        qs0, p10 = q1.popleft()
+        ctx, p2 = _prep_and_dispatch_hop2(engine, qs0, p10.result(), **kw1)
+        q2.append((qs0, ctx, p2))
+
+    def flush2():
+        qs0, ctx, p2 = q2.popleft()
+        return _merge_hop2(qs0, ctx,
+                           p2.result() if p2 is not None else None,
+                           top_k=top_k, hop_decay=hop_decay,
+                           hop2_reserve=hop2_reserve)
+
+    for qs in batches:
+        q1.append((list(qs), engine.query_batch_async(
+            list(qs), top_k=max(top_k, hop1_inspect),
+            graph_window=graph_window, trace_id=trace_id)))
+        if len(q1) >= 2:
+            advance1()
+        if len(q2) >= 2:
+            yield flush2()
+    while q1:
+        advance1()
+    while q2:
+        yield flush2()
+
+
+def _prep_and_dispatch_hop2(
+    engine,
+    queries: Sequence[str],
+    r1,
+    *,
+    top_k: int,
+    hop1_inspect: int,
+    max_bridge_entities: int,
+    graph_window: Optional[int],
+    trace_id: str,
+):
+    """Stage 2: bridge-entity extraction over hop-1 hits + async hop-2
+    dispatch. Returns ``(ctx, pending_or_None)``."""
     ids1 = np.asarray(r1.hits.ids)
     scores1 = np.asarray(r1.hits.scores)
     norms1 = np.asarray(r1.channel_norms)  # [3, B, K1]
@@ -123,17 +201,49 @@ def iterative_retrieve(
             hop2_expansions.append([])
             active.append(False)
 
-    B = len(queries)
     diagnostics = dict(r1.diagnostics)
     diagnostics["hop2_active"] = int(sum(active))
     diagnostics["hop2_queries"] = hop2_queries
+    ctx = {"ids1": ids1, "scores1": scores1, "norms1": norms1,
+           "active": active, "diagnostics": diagnostics}
     if not any(active):
+        return ctx, None
+    kw = dict(expansions=hop2_expansions, top_k=top_k,
+              graph_window=graph_window,
+              trace_id=f"{trace_id}-hop2" if trace_id else "")
+    dispatch = getattr(engine, "query_batch_async", None)
+    if dispatch is None:  # duck-typed engines without the async surface
+        return ctx, _Done(engine.query_batch(hop2_queries, **kw))
+    return ctx, dispatch(hop2_queries, **kw)
+
+
+class _Done:
+    """Pre-resolved pending handle (sync-engine fallback)."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
+def _merge_hop2(
+    queries: Sequence[str],
+    ctx: Dict,
+    r2,
+    *,
+    top_k: int,
+    hop_decay: float,
+    hop2_reserve: Optional[int],
+):
+    """Stage 3: decay + reserve-aware max-merge of hop-2 into hop-1."""
+    ids1, scores1, norms1 = ctx["ids1"], ctx["scores1"], ctx["norms1"]
+    active, diagnostics = ctx["active"], ctx["diagnostics"]
+    B = len(queries)
+    if r2 is None:
         return (ids1[:, :top_k], scores1[:, :top_k],
                 np.moveaxis(norms1, 0, 1)[:, :, :top_k], diagnostics)
 
-    r2 = engine.query_batch(hop2_queries, expansions=hop2_expansions,
-                            top_k=top_k, graph_window=graph_window,
-                            trace_id=f"{trace_id}-hop2" if trace_id else "")
     ids2 = np.asarray(r2.hits.ids)
     scores2 = np.asarray(r2.hits.scores) * hop_decay
     norms2 = np.asarray(r2.channel_norms)

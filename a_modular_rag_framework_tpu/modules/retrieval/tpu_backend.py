@@ -102,6 +102,8 @@ class TPUHybridRetrievalBackend:
         mesh_axes: Optional[Dict[str, int]] = None,
         shard_axis: str = "data",
         query_df_ratio_max: float = 0.0,
+        graph_impl: str = "auto",
+        graph_compact_cap: int = 256,
     ):
         self.router = router
         self.sink = sink
@@ -160,6 +162,8 @@ class TPUHybridRetrievalBackend:
                 fusion_impl=fusion_impl,
                 batch_buckets=tuple(batch_buckets),
                 query_df_ratio_max=float(query_df_ratio_max),
+                graph_impl=str(graph_impl),
+                graph_compact_cap=int(graph_compact_cap),
             )
             self.engine = None
             if mesh_axes:

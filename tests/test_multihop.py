@@ -71,6 +71,26 @@ def test_iterative_beats_single_pass(setup):
     assert (np.diff(scores, axis=1) <= 1e-6).all()
 
 
+def test_iterative_pipelined_matches_sequential(setup):
+    """The 3-stage pipelined iterative retriever yields, per batch and in
+    order, exactly what iterative_retrieve returns for that batch."""
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve_pipelined,
+    )
+
+    engine, samples = setup
+    qs = [s["question"] for s in samples[:16]]
+    batches = [qs, list(reversed(qs)), qs[:8] + qs[:8]]
+    seq = [iterative_retrieve(engine, b, top_k=20) for b in batches]
+    pipe = list(iterative_retrieve_pipelined(engine, batches, top_k=20))
+    assert len(pipe) == len(seq)
+    for (i1, s1, n1, d1), (i2, s2, n2, d2) in zip(seq, pipe):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        np.testing.assert_allclose(n1, n2, atol=1e-6)
+        assert d1["hop2_active"] == d2["hop2_active"]
+
+
 def test_iterative_backend_hits_tagged(setup):
     """The hybrid backend with iterative_hops=2 returns hydrated hits."""
     from a_modular_rag_framework_tpu.core.dto import RetrievalIn

@@ -97,6 +97,35 @@ def test_mesh_settings_activate_sharded_engine(tmp_path):
     assert out.hits[0].id.startswith("sent::")
 
 
+def test_graph_impl_settings_reach_engine_config(tmp_path):
+    """index.graph_impl / graph_compact_cap flow settings -> backend ->
+    EngineConfig (the scale knobs are config-drivable, not code-only)."""
+    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
+    from a_modular_rag_framework_tpu.modules.retrieval.flow import RetrievalAgentFlow
+
+    samples = SyntheticHotpotQALoader({"count": 6, "seed": 3,
+                                       "unique_entities": True}).load()
+    docs_out = tmp_path / "docs.jsonl"
+    ingest(samples, graph_root=tmp_path / "graph", docs_out=docs_out,
+           embed_dim=32, embed_dtype="float32")
+    settings = {
+        "index": {"embed_dim": 32, "dtype": "float32",
+                  "graph_impl": "compact", "graph_compact_cap": 128},
+        "modules": {"retrieval": {
+            "type": ("a_modular_rag_framework_tpu.modules.retrieval."
+                     "flow:RetrievalAgentFlow"),
+            "impl": ("a_modular_rag_framework_tpu.modules.retrieval."
+                     "tpu_backend:TPUHybridRetrievalBackend"),
+            "impl_kwargs": {"index_path": str(docs_out),
+                            "graph_root": str(tmp_path / "graph")},
+        }},
+    }
+    flow = RetrievalAgentFlow.from_settings(settings)
+    cfg = flow.backend.engine.config
+    assert cfg.graph_impl == "compact"
+    assert cfg.graph_compact_cap == 128
+
+
 def test_dcn_axes_compose_outermost():
     """settings mesh.dcn_axes composes with mesh.axes (DCN outermost): the
     sharded engine shards over the inner data axis while the DCN axis

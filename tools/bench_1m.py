@@ -1,4 +1,4 @@
-"""One-million-passage scale check (VERDICT r1 item 3: "ideally 1M").
+"""Million-plus-passage scale check (VERDICT r1 item 3: "ideally 1M").
 
 Builds a ~1M-sentence synthetic corpus (47k samples), packs it, and runs
 the hybrid engine. With graph_impl=auto the compact (N-independent) graph
@@ -7,6 +7,8 @@ B=2048 fits HBM even at 1M rows; --graph_impl dense restores the [B, N]
 wave formulation (then keep --batch <= 256: ~1GB per [B, N] buffer).
 
   python tools/bench_1m.py [--batch 2048] [--samples 47000]
+  # fullwiki-representative scale (~5.1M sentences, needs its own cache):
+  python tools/bench_1m.py --samples 235000 --cache data/bench_cache_5m
 """
 from __future__ import annotations
 
@@ -20,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-CACHE = Path(__file__).resolve().parents[1] / "data" / "bench_cache_1m"
+DEFAULT_CACHE = Path(__file__).resolve().parents[1] / "data" / "bench_cache_1m"
 
 
 def main():
@@ -32,7 +34,9 @@ def main():
                     choices=["auto", "dense", "compact"])
     ap.add_argument("--cap", type=int, default=256,
                     help="compact-mode propagation cap per hop")
+    ap.add_argument("--cache", type=str, default=str(DEFAULT_CACHE))
     args = ap.parse_args()
+    CACHE = Path(args.cache)
 
     from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
     from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
