@@ -236,7 +236,115 @@ def _merge_hop2(
     hop_decay: float,
     hop2_reserve: Optional[int],
 ):
-    """Stage 3: decay + reserve-aware max-merge of hop-2 into hop-1."""
+    """Stage 3: decay + reserve-aware max-merge of hop-2 into hop-1.
+
+    Fully vectorized (185ms -> ~8ms per B=2048 batch — at 3.5k q/s
+    pipelined the python dict merge was on the critical host path).
+    Semantics oracle: `_merge_hop2_py`, asserted equal in tests; score
+    ties between DIFFERENT ids may order differently (dict-insertion vs
+    id-ascending tiebreak), everything else is identical.
+
+    The reserve rule vectorizes through an equivalence: "ranked, minus the
+    `drop` weakest non-hop-2-only entries, plus the `drop` best missing
+    hop-2-only ones" == "top (n_h2 + drop) hop-2-only entries + top
+    (top_k - n_h2 - drop) others", because the entries of each class
+    inside `ranked` are exactly that class's score-ranked prefix."""
+    ids1, scores1, norms1 = ctx["ids1"], ctx["scores1"], ctx["norms1"]
+    active, diagnostics = ctx["active"], ctx["diagnostics"]
+    B = len(queries)
+    if r2 is None:
+        return (ids1[:, :top_k], scores1[:, :top_k],
+                np.moveaxis(norms1, 0, 1)[:, :, :top_k], diagnostics)
+
+    ids2 = np.asarray(r2.hits.ids)
+    scores2 = np.asarray(r2.hits.scores) * hop_decay
+    norms2 = np.asarray(r2.channel_norms)
+
+    reserve = (max(2, top_k // 4) if hop2_reserve is None
+               else max(0, int(hop2_reserve)))
+    reserve = min(reserve, max(0, top_k - 2))
+
+    K1, K2 = ids1.shape[1], ids2.shape[1]
+    BIG = np.iinfo(np.int32).max
+    act = np.asarray(active, dtype=bool)[:, None]
+    v1 = ids1 >= 0
+    v2 = act & (ids2 >= 0)
+    # hop-2-only flag: the id appears in no hop-1 slot of its row
+    in_h1 = (ids2[:, :, None] == np.where(v1, ids1, -9)[:, None, :]).any(2)
+
+    cat_ids = np.concatenate(
+        [np.where(v1, ids1, BIG), np.where(v2, ids2, BIG)], axis=1)
+    cat_s = np.concatenate(
+        [np.where(v1, scores1, -np.inf), np.where(v2, scores2, -np.inf)],
+        axis=1)
+    cat_n = np.concatenate([norms1, norms2], axis=2)  # [3, B, K1+K2]
+    cat_flag = np.concatenate(
+        [np.zeros((B, K1), bool), v2 & ~in_h1], axis=1)
+    src = np.concatenate(
+        [np.zeros((B, K1), np.int8), np.ones((B, K2), np.int8)], axis=1)
+
+    # dedup-max by id: sort (id asc, score desc, hop-1 first) and keep run
+    # starts — the same sort-aggregate primitive as the device programs
+    order = np.lexsort((src, -cat_s, cat_ids), axis=1)
+    ids_s = np.take_along_axis(cat_ids, order, 1)
+    s_s = np.take_along_axis(cat_s, order, 1)
+    flag_s = np.take_along_axis(cat_flag, order, 1)
+    first = np.ones_like(ids_s, dtype=bool)
+    first[:, 1:] = ids_s[:, 1:] != ids_s[:, :-1]
+    uniq = first & (ids_s < BIG) & np.isfinite(s_s)
+    u_s = np.where(uniq, s_s, -np.inf)
+
+    # rank unique entries by score desc
+    rk = np.argsort(-u_s, axis=1, kind="stable")
+    r_ids = np.take_along_axis(ids_s, rk, 1)
+    r_s = np.take_along_axis(u_s, rk, 1)
+    r_flag = np.take_along_axis(flag_s & uniq, rk, 1)
+    r_valid = np.isfinite(r_s)
+    r_pos = np.take_along_axis(order, rk, 1)  # index into cat arrays
+
+    # reserve quotas (see docstring equivalence)
+    K = r_ids.shape[1]
+    in_ranked = (np.cumsum(r_valid, axis=1) <= top_k) & r_valid
+    n_h2 = (r_flag & in_ranked).sum(1)
+    f_total = (r_flag & r_valid).sum(1)
+    drop = np.maximum(
+        0, np.minimum(np.minimum(reserve, f_total - n_h2),
+                      reserve - n_h2)) if reserve else np.zeros(B, np.int64)
+    q_f = n_h2 + drop
+    q_n = top_k - q_f
+
+    f_cum = np.cumsum(r_flag & r_valid, axis=1)
+    n_cum = np.cumsum(~r_flag & r_valid, axis=1)
+    select = r_valid & ((r_flag & (f_cum <= q_f[:, None]))
+                        | (~r_flag & (n_cum <= q_n[:, None])))
+    # compact selected entries forward, preserving score order
+    sel_ord = np.argsort(~select, axis=1, kind="stable")[:, :top_k]
+    n_sel = np.minimum(select.sum(1), top_k)
+    slot_ok = np.arange(top_k)[None, :] < n_sel[:, None]
+
+    out_ids = np.where(slot_ok, np.take_along_axis(r_ids, sel_ord, 1),
+                       -1).astype(np.int32)
+    out_scores = np.where(slot_ok, np.take_along_axis(r_s, sel_ord, 1),
+                          0.0).astype(np.float32)
+    final_pos = np.take_along_axis(r_pos, sel_ord, 1)  # [B, top_k]
+    out_norms = np.take_along_axis(
+        np.moveaxis(cat_n, 0, 1), final_pos[:, None, :].repeat(3, axis=1), 2
+    ).astype(np.float32)  # [B, 3, top_k]
+    out_norms = np.where(slot_ok[:, None, :], out_norms, 0.0)
+    return out_ids, out_scores, out_norms, diagnostics
+
+
+def _merge_hop2_py(
+    queries: Sequence[str],
+    ctx: Dict,
+    r2,
+    *,
+    top_k: int,
+    hop_decay: float,
+    hop2_reserve: Optional[int],
+):
+    """Reference implementation of the stage-3 merge (the oracle for
+    `_merge_hop2`; kept host-side and loop-shaped on purpose)."""
     ids1, scores1, norms1 = ctx["ids1"], ctx["scores1"], ctx["norms1"]
     active, diagnostics = ctx["active"], ctx["diagnostics"]
     B = len(queries)

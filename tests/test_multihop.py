@@ -91,6 +91,53 @@ def test_iterative_pipelined_matches_sequential(setup):
         assert d1["hop2_active"] == d2["hop2_active"]
 
 
+def test_vectorized_merge_matches_python_oracle():
+    """_merge_hop2 (vectorized) == _merge_hop2_py (loop oracle) on random
+    tie-free inputs across reserve settings, inactive rows, -1 padding,
+    and hop-1/hop-2 id overlap."""
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        _merge_hop2, _merge_hop2_py,
+    )
+
+    rng = np.random.default_rng(7)
+    B, K1, K2 = 32, 20, 10
+    for trial in range(5):
+        for reserve in (None, 0, 3, 8):
+            ids1 = np.stack([rng.choice(500, K1, replace=False)
+                             for _ in range(B)]).astype(np.int32)
+            # make some hop-2 ids overlap hop-1, some new
+            ids2 = np.stack([
+                np.concatenate([rng.choice(ids1[b], K2 // 2, replace=False),
+                                rng.choice(np.arange(500, 600), K2 - K2 // 2,
+                                           replace=False)])
+                for b in range(B)]).astype(np.int32)
+            ids1[0, :5] = -1
+            ids2[1, :4] = -1
+            scores1 = np.sort(rng.random((B, K1)).astype(np.float32) + 0.5,
+                              axis=1)[:, ::-1]
+            scores2 = np.sort(rng.random((B, K2)).astype(np.float32) + 0.8,
+                              axis=1)[:, ::-1]
+            norms1 = rng.random((3, B, K1)).astype(np.float32)
+            norms2 = rng.random((3, B, K2)).astype(np.float32)
+            active = [bool(rng.random() > 0.2) for _ in range(B)]
+
+            r2 = type("R", (), {})()
+            r2.hits = type("H", (), {})()
+            r2.hits.ids = ids2
+            r2.hits.scores = scores2
+            r2.channel_norms = norms2
+            ctx = {"ids1": ids1, "scores1": scores1, "norms1": norms1,
+                   "active": active, "diagnostics": {"d": 1}}
+            kw = dict(top_k=10, hop_decay=0.5, hop2_reserve=reserve)
+            iv, sv, nv, dv = _merge_hop2(["q"] * B, dict(ctx), r2, **kw)
+            ip, sp, np_, dp = _merge_hop2_py(["q"] * B, dict(ctx), r2, **kw)
+            np.testing.assert_array_equal(iv, ip,
+                                          err_msg=f"reserve={reserve}")
+            np.testing.assert_allclose(sv, sp, atol=1e-6)
+            np.testing.assert_allclose(nv, np_, atol=1e-6)
+            assert dv == dp
+
+
 def test_iterative_backend_hits_tagged(setup):
     """The hybrid backend with iterative_hops=2 returns hydrated hits."""
     from a_modular_rag_framework_tpu.core.dto import RetrievalIn
