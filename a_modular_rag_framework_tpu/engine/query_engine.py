@@ -380,6 +380,11 @@ class TPUQueryEngine:
         alphas = jnp.asarray(
             [cfg.alpha_text, cfg.alpha_graph, cfg.alpha_dense], dtype=jnp.float32
         )
+        if cfg.graph_impl not in ("auto", "dense", "compact"):
+            # a config typo must not silently select the dense [B, N] wave
+            # path — at 1M+ rows that is exactly the OOM compact prevents
+            raise ValueError(f"unknown graph_impl {cfg.graph_impl!r} "
+                             "(expected auto | dense | compact)")
         if cfg.graph_impl == "compact" and cfg.fusion_impl != "compact":
             raise ValueError(
                 "graph_impl='compact' requires fusion_impl='compact' "

@@ -180,8 +180,16 @@ def _prep_and_dispatch_hop2(
     scores1 = np.asarray(r1.hits.scores)
     norms1 = np.asarray(r1.channel_norms)  # [3, B, K1]
 
-    known_titles = {d.get("title") for d in engine.index.corpus.docs}
-    known_titles.discard(None)
+    # O(N) over the corpus — cache on the engine (immutable index), it sits
+    # on the pipelined host critical path once per batch otherwise
+    known_titles = getattr(engine, "_mh_known_titles", None)
+    if known_titles is None:
+        known_titles = {d.get("title") for d in engine.index.corpus.docs}
+        known_titles.discard(None)
+        try:
+            engine._mh_known_titles = known_titles
+        except AttributeError:
+            pass
 
     hop2_queries: List[str] = []
     hop2_expansions: List[List[str]] = []
@@ -238,11 +246,11 @@ def _merge_hop2(
 ):
     """Stage 3: decay + reserve-aware max-merge of hop-2 into hop-1.
 
-    Fully vectorized (185ms -> ~8ms per B=2048 batch — at 3.5k q/s
+    Fully vectorized (185ms -> ~27ms per B=2048 batch — at 3.5k q/s
     pipelined the python dict merge was on the critical host path).
-    Semantics oracle: `_merge_hop2_py`, asserted equal in tests; score
-    ties between DIFFERENT ids may order differently (dict-insertion vs
-    id-ascending tiebreak), everything else is identical.
+    Semantics oracle: `_merge_hop2_py`, asserted equal in tests including
+    exact score ties (both implementations break ties by ascending id, so
+    results are deterministic and identical).
 
     The reserve rule vectorizes through an equivalence: "ranked, minus the
     `drop` weakest non-hop-2-only entries, plus the `drop` best missing
@@ -303,7 +311,6 @@ def _merge_hop2(
     r_pos = np.take_along_axis(order, rk, 1)  # index into cat arrays
 
     # reserve quotas (see docstring equivalence)
-    K = r_ids.shape[1]
     in_ranked = (np.cumsum(r_valid, axis=1) <= top_k) & r_valid
     n_h2 = (r_flag & in_ranked).sum(1)
     f_total = (r_flag & r_valid).sum(1)
@@ -317,8 +324,13 @@ def _merge_hop2(
     n_cum = np.cumsum(~r_flag & r_valid, axis=1)
     select = r_valid & ((r_flag & (f_cum <= q_f[:, None]))
                         | (~r_flag & (n_cum <= q_n[:, None])))
-    # compact selected entries forward, preserving score order
-    sel_ord = np.argsort(~select, axis=1, kind="stable")[:, :top_k]
+    # compact selected entries forward, preserving score order; W < top_k
+    # when the engine clamped hit widths below top_k (tiny corpora) — pad
+    # the output back to top_k like the loop implementation does
+    W = min(top_k, select.shape[1])
+    sel_ord = np.argsort(~select, axis=1, kind="stable")[:, :W]
+    if W < top_k:
+        sel_ord = np.pad(sel_ord, ((0, 0), (0, top_k - W)), mode="edge")
     n_sel = np.minimum(select.sum(1), top_k)
     slot_ok = np.arange(top_k)[None, :] < n_sel[:, None]
 
@@ -384,10 +396,13 @@ def _merge_hop2_py(
                     merged[i] = (float(s), norms2[:, b, j])
                 if i not in h1_ids:
                     hop2_only.append(i)
-        ranked = sorted(merged.items(), key=lambda kv: -kv[1][0])[:top_k]
+        ranked = sorted(merged.items(),
+                        key=lambda kv: (-kv[1][0], kv[0]))[:top_k]
         if active[b] and reserve:
             have = {i for i, _ in ranked}
-            missing = [i for i in hop2_only if i not in have][:reserve]
+            missing = sorted(
+                (i for i in set(hop2_only) if i not in have),
+                key=lambda i: (-merged[i][0], i))[:reserve]
             n_h2 = sum(1 for i, _ in ranked if i in set(hop2_only))
             drop = max(0, min(len(missing), reserve - n_h2))
             if drop:
@@ -396,7 +411,7 @@ def _merge_hop2_py(
                 keep = keep[: top_k - len(h2_kv) - drop]
                 ranked = sorted(
                     keep + h2_kv + [(i, merged[i]) for i in missing[:drop]],
-                    key=lambda kv: -kv[1][0])[:top_k]
+                    key=lambda kv: (-kv[1][0], kv[0]))[:top_k]
         for j, (i, (s, nrm)) in enumerate(ranked):
             out_ids[b, j] = i
             out_scores[b, j] = s

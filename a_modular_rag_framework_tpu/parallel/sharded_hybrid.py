@@ -256,7 +256,7 @@ class ShardedHybridEngine:
         if cfg.graph_impl not in ("auto", "dense", "compact"):
             raise ValueError(f"unknown graph_impl {cfg.graph_impl!r}")
         use_compact_graph = cfg.graph_impl == "compact" or (
-            cfg.graph_impl == "auto" and B * n_pad * 4 > 256 << 20)
+            cfg.graph_impl == "auto" and B * n * 4 > 256 << 20)
 
         def merge_pools(local_s, local_i):
             """all_gather per-shard pools -> global top pool_k (replicated).

@@ -332,7 +332,7 @@ def main() -> None:
                  "unique_entities": True}).load()
             enginel = make_engine(idxl, BATCH)
             ql = [s["question"] for s in samplesl[:BATCH]]
-            pipel, seql, devl = measure_throughput(enginel, ql)
+            pipel, seql, _ = measure_throughput(enginel, ql)
             qualityl = evaluate_retrieval(enginel, samplesl[:128], k=TOP_K,
                                           batch_size=BATCH)
             extras[label] = {

@@ -101,7 +101,11 @@ def test_vectorized_merge_matches_python_oracle():
 
     rng = np.random.default_rng(7)
     B, K1, K2 = 32, 20, 10
-    for trial in range(5):
+    for trial in range(7):
+        # trials 5-6 quantize scores to force EXACT ties across different
+        # ids (graph-only hits collide constantly at alpha*decay values) —
+        # both implementations break ties by ascending id
+        quantize = trial >= 5
         for reserve in (None, 0, 3, 8):
             ids1 = np.stack([rng.choice(500, K1, replace=False)
                              for _ in range(B)]).astype(np.int32)
@@ -117,6 +121,9 @@ def test_vectorized_merge_matches_python_oracle():
                               axis=1)[:, ::-1]
             scores2 = np.sort(rng.random((B, K2)).astype(np.float32) + 0.8,
                               axis=1)[:, ::-1]
+            if quantize:
+                scores1 = np.round(scores1 * 4) / 4
+                scores2 = np.round(scores2 * 4) / 4
             norms1 = rng.random((3, B, K1)).astype(np.float32)
             norms2 = rng.random((3, B, K2)).astype(np.float32)
             active = [bool(rng.random() > 0.2) for _ in range(B)]
@@ -136,6 +143,36 @@ def test_vectorized_merge_matches_python_oracle():
             np.testing.assert_allclose(sv, sp, atol=1e-6)
             np.testing.assert_allclose(nv, np_, atol=1e-6)
             assert dv == dp
+
+
+def test_vectorized_merge_pads_when_hits_narrower_than_top_k():
+    """Tiny corpora: engine hit widths clamp below top_k; the vectorized
+    merge must pad to top_k like the loop oracle, not crash."""
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        _merge_hop2, _merge_hop2_py,
+    )
+
+    B, K1, K2, top_k = 2, 4, 4, 10
+    rng = np.random.default_rng(3)
+    ids1 = np.array([[0, 1, 2, 3], [3, 2, -1, -1]], np.int32)
+    scores1 = np.sort(rng.random((B, K1)).astype(np.float32))[:, ::-1]
+    ids2 = np.array([[2, 5, -1, -1], [0, 1, 5, -1]], np.int32)
+    scores2 = np.sort(rng.random((B, K2)).astype(np.float32))[:, ::-1]
+    r2 = type("R", (), {})()
+    r2.hits = type("H", (), {})()
+    r2.hits.ids = ids2
+    r2.hits.scores = scores2
+    r2.channel_norms = rng.random((3, B, K2)).astype(np.float32)
+    ctx = {"ids1": ids1, "scores1": scores1,
+           "norms1": rng.random((3, B, K1)).astype(np.float32),
+           "active": [True, True], "diagnostics": {}}
+    kw = dict(top_k=top_k, hop_decay=0.5, hop2_reserve=None)
+    iv, sv, nv, _ = _merge_hop2(["a", "b"], dict(ctx), r2, **kw)
+    ip, sp, np_, _ = _merge_hop2_py(["a", "b"], dict(ctx), r2, **kw)
+    assert iv.shape == (B, top_k)
+    np.testing.assert_array_equal(iv, ip)
+    np.testing.assert_allclose(sv, sp, atol=1e-6)
+    np.testing.assert_allclose(nv, np_, atol=1e-6)
 
 
 def test_iterative_backend_hits_tagged(setup):

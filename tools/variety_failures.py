@@ -33,8 +33,6 @@ def main():
     ap.add_argument("--seed", type=int, default=31)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--bigrams", action="store_true",
-                    help="build the index with bm25_bigrams=True")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -59,11 +57,7 @@ def main():
         "unique_entities": True, "variety": True,
     }).load()
     corpus = SentenceCorpus.from_hotpotqa(samples)
-    kwargs = {}
-    if args.bigrams:
-        kwargs["bm25_bigrams"] = True
-    idx = build_packed_index(corpus, embed_dim=64, embed_dtype="bfloat16",
-                             **kwargs)
+    idx = build_packed_index(corpus, embed_dim=64, embed_dtype="bfloat16")
     print(f"corpus: {len(corpus)} sentences from {args.samples} samples")
 
     engine = TPUQueryEngine(idx, config=EngineConfig(
@@ -121,7 +115,6 @@ def main():
 
     print(json.dumps({
         "k": args.k,
-        "bigrams": bool(args.bigrams),
         "single_shot": {"recall": round(float(overall1), 3),
                         "per_hop_recall": rec1, "miss_buckets": miss1},
         "iterative": {"recall": round(float(overall2), 3),
