@@ -284,10 +284,10 @@ def bm25_topk_sorted(
     docs_q = docs_w.reshape(B * E, W)
     c_q = c_w.reshape(B * E, W)
 
-    # sort by doc id; aggregate equal runs
-    order = jnp.argsort(docs_q, axis=1)
-    docs_s = jnp.take_along_axis(docs_q, order, axis=1)
-    c_s = jnp.take_along_axis(c_q, order, axis=1)
+    # sort by doc id; aggregate equal runs. One variadic sort carrying the
+    # contributions as payload (order within an equal-id run is irrelevant
+    # — runs are summed), instead of argsort + 2 row-gathers.
+    docs_s, c_s = jax.lax.sort((docs_q, c_q), dimension=1, num_keys=1)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (B * E, W), 1)
     boundary = jnp.concatenate(
@@ -323,9 +323,8 @@ def bm25_topk_sorted(
         # max-merge variants: sort the E*K union by doc id; a doc appears at
         # most E times (contiguously), so its run max is the max over the
         # E-1 preceding lanes with the same id, read at the run's last entry
-        order2 = jnp.argsort(u_docs, axis=1)
-        d2 = jnp.take_along_axis(u_docs, order2, axis=1)
-        s2 = jnp.take_along_axis(u_s, order2, axis=1)
+        # (variadic sort: run-internal order is irrelevant under max)
+        d2, s2 = jax.lax.sort((u_docs, u_s), dimension=1, num_keys=1)
         idx2 = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         merged = s2
         for shift in range(1, E):

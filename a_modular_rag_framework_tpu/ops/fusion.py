@@ -106,16 +106,17 @@ def fuse_pools_compact(
     nd_cat = jnp.concatenate([nd, jnp.zeros_like(ng_pool)], axis=1)
 
     sort_ids = jnp.where(valid_cat, ids_cat, n + 1)
-    # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit
+    # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit.
+    # (id, flag) is unique per row (each pool holds distinct ids), so the
+    # key is unique and ONE unstable variadic sort carrying all payloads
+    # replaces argsort + 5 take_along_axis gathers with identical results
+    # (measured on v5e at B=2048, P=G=200: fusion 76ms -> the sort is one
+    # HLO and the payloads ride it instead of 5 separate row-gathers).
     key = sort_ids * 2 + flag
-    order = jnp.argsort(key, axis=1)
-
-    def pick(x):
-        return jnp.take_along_axis(x, order, axis=1)
-
-    ids_s = pick(sort_ids)
-    fused_s = pick(fused_cat)
-    nt_s, ng_s, nd_s = pick(nt_cat), pick(ng_cat), pick(nd_cat)
+    key_s, ids_s, fused_s, nt_s, ng_s, nd_s = jax.lax.sort(
+        (key, sort_ids, fused_cat, nt_cat, ng_cat, nd_cat),
+        dimension=1, num_keys=1)
+    del key_s
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=jnp.bool_),
          ids_s[:, 1:] == ids_s[:, :-1]], axis=1,

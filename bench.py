@@ -186,8 +186,11 @@ def train_step_mfu() -> dict:
         make_train_step,
     )
 
-    cfg = EncoderConfig(vocab_size=8192, max_len=64, d_model=256, n_heads=8,
-                        n_layers=4, d_ff=1024)
+    # probe at an MXU-friendly shape (the flagship retrieval encoder is
+    # intentionally small; MFU is only meaningful when the matmuls are
+    # large enough to tile the systolic array)
+    cfg = EncoderConfig(vocab_size=16384, max_len=128, d_model=512,
+                        n_heads=8, n_layers=8, d_ff=2048)
     params = init_params(jax.random.PRNGKey(0), cfg)
     init_state, step = make_train_step(cfg)
     opt_state = init_state(params)

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--n_samples", type=int, default=600)
     ap.add_argument("--pool_k", type=int, default=200)
     ap.add_argument("--window", type=int, default=2)
+    ap.add_argument("--term_topm", type=int, default=32)
+    ap.add_argument("--prune", type=float, default=0.05,
+                    help="query_df_ratio_max (0 = off)")
     args = ap.parse_args()
 
     from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
@@ -53,7 +56,9 @@ def main():
     idx = build_packed_index(corpus, embed_dim=64, embed_dtype="bfloat16")
     B, pool_k, window = args.batch, args.pool_k, args.window
     cfg = EngineConfig(top_k=10, pool_k=pool_k, graph_window=window,
-                       batch_buckets=(B,))
+                       batch_buckets=(B,), bm25_term_topm=args.term_topm,
+                       bm25_posting_cap=1024,
+                       query_df_ratio_max=args.prune)
     engine = TPUQueryEngine(idx, config=cfg)
     n = idx.n_docs
     print(f"N={n} B={B} pool_k={pool_k} window={window} "
@@ -61,6 +66,8 @@ def main():
 
     questions = [s["question"] for s in samples[:B]]
     questions = (questions * ((B // len(questions)) + 1))[:B]
+    if engine._high_df_terms:
+        questions = [engine._prune_query(q) for q in questions]
     variants = [[q] for q in questions]
     q_emb, term_ids = engine.encode_queries(variants, n_variants=1)
     used_t = int((term_ids >= 0).any(axis=(0, 1)).nonzero()[0].max() + 1)
@@ -134,19 +141,54 @@ def main():
         g = stage_expand.__wrapped__(tid)
         return jax.lax.top_k(g, min(pool_k, n))
 
-    rows = [
-        ("bm25_phase1", timeit(stage_phase1, term_ids)),
-        ("bm25_phase1+rescore", timeit(stage_rescore, term_ids)),
-        ("..+dense", timeit(stage_dense, term_ids, q_emb)),
-        ("..+seed_scatter", timeit(stage_seeds, term_ids)),
-        ("..+graph_expand", timeit(stage_expand, term_ids)),
-        ("..+graph_topk", timeit(stage_gpool, term_ids)),
-        ("FULL query_batch (e2e)", full_ms),
-        ("FULL device_ms (diag)", dev_ms),
-    ]
-    print(f"{'stage':28s} {'ms':>9s} {'q/s':>9s}")
-    for name, ms in rows:
-        print(f"{name:28s} {ms:9.2f} {B / ms * 1e3:9.0f}")
+    # print incrementally — remote compiles are minutes-scale and a timeout
+    # mid-run must not lose the rows already measured
+    print(f"{'stage':28s} {'ms':>9s} {'q/s':>9s}", flush=True)
+
+    def row(name, fn, *a):
+        ms = fn(*a) if callable(fn) else fn
+        print(f"{name:28s} {ms:9.2f} {B / ms * 1e3:9.0f}", flush=True)
+
+    row("FULL query_batch (e2e)", full_ms)
+    row("FULL device_ms (diag)", dev_ms)
+    row("bm25_phase1", lambda t: timeit(stage_phase1, t), term_ids)
+    row("bm25_phase1+rescore", lambda t: timeit(stage_rescore, t), term_ids)
+    row("..+dense", lambda t: timeit(stage_dense, t, q_emb), term_ids)
+    row("..+seed_scatter", lambda t: timeit(stage_seeds, t), term_ids)
+    row("..+graph_expand", lambda t: timeit(stage_expand, t), term_ids)
+    row("..+graph_topk", lambda t: timeit(stage_gpool, t), term_ids)
+
+    # ---- standalone stages not in the cumulative chain ----
+    from a_modular_rag_framework_tpu.ops.fusion import fuse_pools_compact
+
+    rng = np.random.default_rng(0)
+    P = min(pool_k, n)
+    pool_s = jnp.asarray(np.sort(rng.random((B, P)).astype(np.float32))[:, ::-1] + 1)
+    pool_i = jnp.asarray(rng.integers(0, n, (B, P)).astype(np.int32))
+    pool_v = jnp.ones((B, P), bool)
+    dense_p = jnp.asarray(rng.random((B, P)).astype(np.float32))
+    tg = jnp.asarray(rng.random((B, P)).astype(np.float32))
+    g_s = jnp.asarray(np.sort(rng.random((B, P)).astype(np.float32))[:, ::-1])
+    g_i = jnp.asarray(rng.integers(0, n, (B, P)).astype(np.int32))
+    alphas = jnp.asarray([0.4, 0.2, 0.4], jnp.float32)
+
+    @jax.jit
+    def stage_fuse(ps, pi, dp, tgr, gs, gi):
+        return fuse_pools_compact(ps, pi, pool_v, dp, tgr, gs, gi, pool_v,
+                                  alphas=alphas, k=10, n=n)
+
+    row("fusion (standalone)",
+        lambda: timeit(stage_fuse, pool_s, pool_i, dense_p, tg, g_s, g_i))
+
+    if hasattr(engine.encoder, "featurize") or hasattr(
+            engine.encoder, "device_embed"):
+        try:
+            feat_a, feat_b = engine.encoder.featurize(questions)
+            fa, fb = jnp.asarray(feat_a), jnp.asarray(feat_b)
+            je = jax.jit(engine.encoder.device_embed)
+            row("query embed (standalone)", lambda: timeit(je, fa, fb))
+        except Exception as e:
+            print(f"embed stage skipped: {e!r}", flush=True)
 
 
 if __name__ == "__main__":
