@@ -1,0 +1,107 @@
+"""Recorded end-to-end QA runs (docs/E2E_RUN.{md,json}) — repeatable driver.
+
+Runs the FULL workflow (graph construction -> hybrid retrieval w/ iterative
+2-hop -> plan/synthesize reasoning -> rules+LLM verification + retry loop)
+through `answer_question` under the shipped config/settings.yaml, over an
+ingested synthetic corpus, and reports EM / relaxed EM / F1 / verdicts.
+This is the recorded counterpart of the reference's run_system mode
+(/root/reference/my_code/run_system.py:13-66).
+
+  python tools/e2e_run.py [--corpus plain|variety] [--samples 300] \
+      [--questions 100] [--tag plain_shipped]
+
+Updates docs/E2E_RUN.json in place under --tag (other entries preserved).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="plain", choices=["plain", "variety"])
+    ap.add_argument("--samples", type=int, default=300)
+    ap.add_argument("--questions", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--tag", default=None,
+                    help="E2E_RUN.json key (default <corpus>_shipped)")
+    ap.add_argument("--no_write", action="store_true")
+    args = ap.parse_args()
+    tag = args.tag or f"{args.corpus}_shipped"
+
+    import yaml
+
+    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
+    from a_modular_rag_framework_tpu.core.dataset_loader import (
+        SyntheticHotpotQALoader,
+    )
+    from a_modular_rag_framework_tpu.eval.metrics import exact_match, f1_score
+    from a_modular_rag_framework_tpu.system import answer_question
+
+    samples = SyntheticHotpotQALoader({
+        "count": args.samples, "seed": args.seed, "unique_entities": True,
+        "variety": args.corpus == "variety",
+    }).load()
+
+    work = Path(tempfile.mkdtemp(prefix="e2e_run_"))
+    docs_out = work / "docs.jsonl"
+    ingest(samples, graph_root=work / "graph", docs_out=docs_out)
+
+    # shipped settings, repointed at this corpus
+    settings = yaml.safe_load((ROOT / "config" / "settings.yaml").read_text())
+    rk = settings["modules"]["retrieval"].setdefault("impl_kwargs", {})
+    rk["index_path"] = str(docs_out)
+    rk["graph_root"] = str(work / "graph")
+    settings["dataset"] = {
+        "type": "synthetic_hotpotqa", "count": args.samples,
+        "seed": args.seed, "unique_entities": True,
+        "variety": args.corpus == "variety",
+    }
+    s_path = work / "settings.yaml"
+    s_path.write_text(yaml.safe_dump(settings))
+
+    ems, rems, f1s, verdicts = [], [], [], {}
+    t0 = time.time()
+    for s in samples[: args.questions]:
+        res = answer_question(s["question"], mode="full",
+                              settings_path=str(s_path))
+        pred = (res.get("reasoning") or {}).get("answer") or ""
+        gold = s["answer"]
+        ems.append(exact_match(pred, gold))
+        rems.append(1.0 if gold.lower() in pred.lower() else 0.0)
+        f1s.append(f1_score(pred, gold))
+        v = (res.get("verification") or {}).get("verdict") or "?"
+        verdicts[v] = verdicts.get(v, 0) + 1
+    total = time.time() - t0
+
+    n = max(len(ems), 1)
+    row = {
+        "n": len(ems),
+        "corpus": args.corpus,
+        "sentences": sum(len(se) for s in samples for _, se in s["context"]),
+        "em": round(sum(ems) / n, 4),
+        "em_relaxed": round(sum(rems) / n, 4),
+        "f1": round(sum(f1s) / n, 4),
+        "verdicts": verdicts,
+        "total_sec": round(total, 1),
+        "sec_per_question": round(total / n, 2),
+    }
+    print(json.dumps({tag: row}, indent=2))
+
+    if not args.no_write:
+        out = ROOT / "docs" / "E2E_RUN.json"
+        data = json.loads(out.read_text()) if out.exists() else {}
+        data[tag] = row
+        out.write_text(json.dumps(data, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
