@@ -815,9 +815,11 @@ class TPUQueryEngine:
         t0 = time.time()
         s, i = dense_topk(q, self._emb, k, use_pallas=use_pallas,
                           tile_n=2048)
-        jax.block_until_ready(s)
-        dt_ms = (time.time() - t0) * 1000.0
+        # time through the HOST FETCH: under the remote tunnel,
+        # block_until_ready can return before execution completes — only a
+        # device->host transfer reliably observes the finish
         s = np.asarray(s)[:B_real]
+        dt_ms = (time.time() - t0) * 1000.0
         i = np.asarray(i)[:B_real]
         return QueryResult(
             hits=HitBatch(ids=i, scores=s),

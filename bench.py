@@ -200,13 +200,15 @@ def train_step_mfu() -> dict:
     ps = [f"passage describing topic {i} with entity {i*7%97}" for i in range(B)]
     batch = {k: jnp.asarray(v) for k, v in
              TextEncoder.make_pair_batch(qs, ps, cfg).items()}
-    params2, opt_state, m = jstep(params, opt_state, batch)
-    jax.block_until_ready(m["loss"])
+    out = jstep(params, opt_state, batch)
+    float(out[2]["loss"])  # under the remote tunnel, block_until_ready
+    # does not actually wait for execution — only a host transfer does;
+    # fetch the loss scalar to time the real step (costs one ~25ms RTT)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        params2, opt_state, m = jstep(params2, opt_state, batch)
-        jax.block_until_ready(m["loss"])
+        out = jstep(out[0], out[1], batch)
+        float(out[2]["loss"])
         best = min(best, time.time() - t0)
     # fwd matmul flops/token ~= 12*L*d^2 (attn qkvo 8d^2 + mlp 2*d*ff); x3 for bwd
     tokens = 2 * B * cfg.max_len
