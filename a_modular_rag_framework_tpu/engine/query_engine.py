@@ -89,6 +89,10 @@ class EngineConfig:
     # hop-2 sort width is cap*deg: 256 measured best at B=2048/deg=34
     # (9.26k q/s vs 6.19k at 512 on the 101k corpus, recall unchanged)
     graph_compact_cap: int = 256
+    # dense-path wave precision: "bfloat16" halves the expansion's HBM
+    # traffic (the dominant stage of the dense graph formulation). f32
+    # default = bit-for-bit oracle parity (bf16 rounds hop decays).
+    graph_wave_dtype: str = "float32"
     # graph pool selection uses the TPU's approx_max_k above 32k rows
     # (exact top_k lowers to a full per-row sort); set True to force the
     # exact path — required when bit-for-bit agreement with the sharded
@@ -525,7 +529,8 @@ class TPUQueryEngine:
                         .max(jnp.where(seed_rows >= 0, 1.0, 0.0))[:, :n]
                     )
                     graph_scores = expand_frontier_weighted_batched(
-                        nbrs, seed_scores, window=window)
+                        nbrs, seed_scores, window=window,
+                        wave_dtype=cfg.graph_wave_dtype)
                 else:
                     seed_mask = (
                         jnp.zeros((B, n + 1), dtype=jnp.bool_)
@@ -558,7 +563,8 @@ class TPUQueryEngine:
 
                     if use_batched_expand:
                         graph_scores = expand_frontier_weighted_batched(
-                            nbrs, seed_scores, window=window)
+                            nbrs, seed_scores, window=window,
+                            wave_dtype=cfg.graph_wave_dtype)
                     elif frontier_cap:
                         def one_expand_w(sv):
                             return expand_frontier_weighted_capped(

@@ -79,7 +79,8 @@ class RetrievalAgentFlow:
                                      ("max_postings_per_term", "bm25_term_topm"),
                                      ("query_df_ratio_max", "query_df_ratio_max"),
                                      ("graph_impl", "graph_impl"),
-                                     ("graph_compact_cap", "graph_compact_cap")):
+                                     ("graph_compact_cap", "graph_compact_cap"),
+                                     ("graph_wave_dtype", "graph_wave_dtype")):
                 if src_key in index_cfg:
                     raw_kwargs.setdefault(dst_key, index_cfg[src_key])
             kernels_cfg = settings.get("kernels") or {}

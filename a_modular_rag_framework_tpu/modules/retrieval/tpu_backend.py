@@ -104,6 +104,7 @@ class TPUHybridRetrievalBackend:
         query_df_ratio_max: float = 0.0,
         graph_impl: str = "auto",
         graph_compact_cap: int = 256,
+        graph_wave_dtype: str = "float32",
     ):
         self.router = router
         self.sink = sink
@@ -164,6 +165,7 @@ class TPUHybridRetrievalBackend:
                 query_df_ratio_max=float(query_df_ratio_max),
                 graph_impl=str(graph_impl),
                 graph_compact_cap=int(graph_compact_cap),
+                graph_wave_dtype=str(graph_wave_dtype),
             )
             self.engine = None
             if mesh_axes:

@@ -175,12 +175,13 @@ def expand_frontier_weighted_capped(
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(jax.jit, static_argnames=("window", "wave_dtype"))
 def expand_frontier_weighted_batched(
     neighbors: jax.Array,   # [N, deg] int32, -1 padded (symmetric)
     seed_scores: jax.Array,  # [B, N] f32
     *,
     window: int,
+    wave_dtype: str = "float32",
 ) -> jax.Array:
     """Batched `expand_frontier_weighted` without the [B, N, deg]
     intermediate.
@@ -198,8 +199,13 @@ def expand_frontier_weighted_batched(
     decay = jnp.asarray(hop_decay_table(max(window, 0)))
     nbrs_t = jnp.swapaxes(neighbors, 0, 1)  # [deg, N]
 
-    wave = jnp.maximum(seed_scores, 0.0)  # [B, N]
-    best = wave * decay[0]
+    # wave_dtype="bfloat16" halves the expansion's HBM traffic (the
+    # per-column gathers dominate this op: deg x [B, N] reads per hop);
+    # the returned `best` stays f32. Opt-in — bf16 rounds hop values
+    # (0.7 is not representable), so bit-for-bit oracle parity needs f32.
+    wdt = jnp.dtype(wave_dtype)
+    wave = jnp.maximum(seed_scores, 0.0).astype(wdt)  # [B, N]
+    best = wave.astype(jnp.float32) * decay[0]
     for h in range(1, max(window, 0) + 1):
         # fori_loop (not an unrolled python loop): the unrolled form lets
         # XLA keep all deg gather outputs live at once — 34 x [B, N] f32 =
@@ -209,10 +215,11 @@ def expand_frontier_weighted_batched(
             col = jax.lax.dynamic_index_in_dim(nbrs_t, d, axis=0,
                                                keepdims=False)  # [N]
             g = jnp.take(wave, jnp.where(col >= 0, col, 0), axis=1)
-            return jnp.maximum(new, jnp.where((col >= 0)[None, :], g, 0.0))
+            return jnp.maximum(
+                new, jnp.where((col >= 0)[None, :], g, jnp.array(0, wdt)))
 
         wave = jax.lax.fori_loop(0, deg, body, jnp.zeros_like(wave))
-        best = jnp.maximum(best, wave * decay[h])
+        best = jnp.maximum(best, wave.astype(jnp.float32) * decay[h])
     return best
 
 

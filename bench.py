@@ -79,7 +79,8 @@ def make_engine(idx, batch):
         idx,
         config=EngineConfig(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                             bm25_posting_cap=1024, batch_buckets=(batch,),
-                            query_df_ratio_max=0.05, bm25_term_topm=32),
+                            query_df_ratio_max=0.05, bm25_term_topm=32,
+                            graph_wave_dtype="bfloat16"),
     )
 
 

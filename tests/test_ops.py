@@ -354,6 +354,15 @@ def test_expand_frontier_weighted_batched_matches_vmapped(rng):
         nbrs, jnp.asarray(mask[None].astype(np.float32)), window=2))[0]
     np.testing.assert_allclose(got_u, np.asarray(s_ref), rtol=1e-6)
 
+    # bf16 wave: f32 values within bf16 rounding, f32 output dtype, and the
+    # REACHED SET (nonzero support) identical — the property retrieval
+    # ranking actually depends on
+    got16 = np.asarray(expand_frontier_weighted_batched(
+        nbrs, jnp.asarray(seeds), window=2, wave_dtype="bfloat16"))
+    assert got16.dtype == np.float32
+    np.testing.assert_allclose(got16, ref, rtol=1e-2, atol=1e-3)
+    np.testing.assert_array_equal(got16 > 0, ref > 0)
+
 
 def test_dense_topk_approx_matches_exact_on_cpu(rng):
     """approx_max_k is exact on CPU, so the approx path must equal the

@@ -19,14 +19,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fetch(out):
+    # time through a host fetch: under the remote tunnel
+    # jax.block_until_ready can return before execution completes
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+        break
+
+
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(fn(*args))
         best = min(best, time.time() - t0)
     return best * 1e3
 
