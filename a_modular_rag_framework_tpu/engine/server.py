@@ -25,6 +25,7 @@ class _Request:
     seed_rows: Optional[Sequence[int]]
     top_k: Optional[int]
     graph_window: Optional[int]
+    mode: str = "single"  # "single" | "iterative" (bridge-entity 2-hop)
     future: Future = field(default_factory=Future)
 
 
@@ -103,10 +104,13 @@ class QueryServer:
         seed_rows: Optional[Sequence[int]] = None,
         top_k: Optional[int] = None,
         graph_window: Optional[int] = None,
+        mode: str = "single",
     ) -> Future:
-        """Returns a Future resolving to List[Hit]."""
+        """Returns a Future resolving to List[Hit]. ``mode="iterative"``
+        serves the bridge-entity 2-hop quality mode (multihop.py) through
+        the same micro-batching dispatch loop."""
         req = _Request(query=query, expansions=expansions, seed_rows=seed_rows,
-                       top_k=top_k, graph_window=graph_window)
+                       top_k=top_k, graph_window=graph_window, mode=mode)
         self._q.put(req)
         return req.future
 
@@ -163,9 +167,10 @@ class QueryServer:
             # group to keep shapes uniform
             groups: Dict[Any, List[_Request]] = {}
             for r in batch:
-                key = (r.top_k, r.graph_window, r.seed_rows is not None)
+                key = (r.top_k, r.graph_window, r.seed_rows is not None,
+                       r.mode)
                 groups.setdefault(key, []).append(r)
-            for (top_k, window, has_seeds), reqs in groups.items():
+            for (top_k, window, has_seeds, mode), reqs in groups.items():
                 kwargs = dict(
                     expansions=[list(r.expansions or []) for r in reqs],
                     seed_rows=([list(r.seed_rows or []) for r in reqs]
@@ -175,7 +180,21 @@ class QueryServer:
                 )
                 queries = [r.query for r in reqs]
                 try:
-                    if dispatch_async is not None:
+                    if mode == "iterative":
+                        from ..modules.retrieval.multihop import (
+                            IterativePending,
+                        )
+
+                        k_eff = int(top_k or self.engine.config.top_k)
+                        p1 = (dispatch_async or self.engine.query_batch)(
+                            queries, top_k=max(k_eff, 20),
+                            graph_window=window)
+                        if dispatch_async is None:
+                            p1 = _Resolved(p1)
+                        inflight.append((IterativePending(
+                            self.engine, queries, p1, top_k=k_eff,
+                            graph_window=window), reqs))
+                    elif dispatch_async is not None:
                         inflight.append((dispatch_async(queries, **kwargs),
                                          reqs))
                     else:

@@ -235,6 +235,48 @@ class _Done:
         return self._value
 
 
+class IterativePending:
+    """PendingQuery-shaped handle for an in-flight iterative retrieval.
+
+    Hop 1 is already dispatched (async); ``result()`` runs the remaining
+    stages — bridge extraction, hop-2 dispatch, merge — and returns a
+    `QueryResult`, so `QueryServer` can serve the iterative quality mode
+    through the same one-in-flight dispatch loop as single-shot queries."""
+
+    def __init__(self, engine, queries, p1, *, top_k: int,
+                 hop1_inspect: int = 20, hop_decay: float = 0.5,
+                 hop2_reserve: Optional[int] = None,
+                 max_bridge_entities: int = 4,
+                 graph_window: Optional[int] = None, trace_id: str = ""):
+        self._engine = engine
+        self._queries = list(queries)
+        self._p1 = p1
+        self._kw = dict(top_k=top_k, hop1_inspect=hop1_inspect,
+                        max_bridge_entities=max_bridge_entities,
+                        graph_window=graph_window, trace_id=trace_id)
+        self._hop_decay = hop_decay
+        self._hop2_reserve = hop2_reserve
+        self._done = None
+
+    def result(self):
+        if self._done is not None:
+            return self._done
+        from ...core.dto import HitBatch
+        from ...engine.query_engine import QueryResult
+
+        ctx, p2 = _prep_and_dispatch_hop2(
+            self._engine, self._queries, self._p1.result(), **self._kw)
+        ids, scores, norms, diag = _merge_hop2(
+            self._queries, ctx, p2.result() if p2 is not None else None,
+            top_k=self._kw["top_k"], hop_decay=self._hop_decay,
+            hop2_reserve=self._hop2_reserve)
+        self._done = QueryResult(
+            hits=HitBatch(ids=ids, scores=scores),
+            channel_norms=np.moveaxis(norms, 1, 0),
+            diagnostics=diag)
+        return self._done
+
+
 def _merge_hop2(
     queries: Sequence[str],
     ctx: Dict,

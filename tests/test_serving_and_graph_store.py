@@ -39,6 +39,28 @@ def test_server_batches_concurrent_queries(engine):
     assert max(server.stats["batch_sizes"]) > 1
 
 
+def test_server_iterative_mode_matches_direct(engine):
+    """mode="iterative" through the server == direct iterative_retrieve
+    on the same queries (same ids, same order)."""
+    import numpy as np
+
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+    )
+
+    eng, samples = engine
+    qs = [s["question"] for s in samples[:6]]
+    direct_ids, _, _, _ = iterative_retrieve(eng, qs, top_k=5)
+    with QueryServer(eng, max_batch=8, max_wait_ms=30) as server:
+        futures = [server.submit(q, mode="iterative", top_k=5) for q in qs]
+        results = [f.result(timeout=60) for f in futures]
+    for row, hits in enumerate(results):
+        got = [h.id for h in hits]
+        want = [eng.index.corpus.hit_id(int(i))
+                for i in direct_ids[row] if i >= 0]
+        assert got == want, (row, got, want)
+
+
 def test_server_mixed_params_grouped(engine):
     eng, samples = engine
     with QueryServer(eng, max_batch=8, max_wait_ms=20) as server:
