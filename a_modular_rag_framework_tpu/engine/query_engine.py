@@ -93,7 +93,7 @@ class EngineConfig:
     # traffic (the dominant stage of the dense graph formulation). f32
     # default = bit-for-bit oracle parity (bf16 rounds hop decays).
     graph_wave_dtype: str = "float32"
-    # graph pool selection uses the TPU's approx_max_k above 32k rows
+    # graph pool selection uses the TPU's approx_max_k above 4k rows
     # (exact top_k lowers to a full per-row sort); set True to force the
     # exact path — required when bit-for-bit agreement with the sharded
     # engine (which is always exact) matters more than throughput
@@ -574,8 +574,9 @@ class TPUQueryEngine:
                         graph_scores = jax.vmap(one_expand_w)(seed_scores)
                     else:
                         def one_expand_w(sv):
-                            return expand_frontier_weighted(nbrs, sv,
-                                                            window=window)
+                            return expand_frontier_weighted(
+                                nbrs, sv, window=window,
+                                wave_dtype=cfg.graph_wave_dtype)
 
                         graph_scores = jax.vmap(one_expand_w)(seed_scores)
                 else:

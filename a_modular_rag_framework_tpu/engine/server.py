@@ -109,6 +109,9 @@ class QueryServer:
         """Returns a Future resolving to List[Hit]. ``mode="iterative"``
         serves the bridge-entity 2-hop quality mode (multihop.py) through
         the same micro-batching dispatch loop."""
+        if mode not in ("single", "iterative"):
+            raise ValueError(f"unknown mode {mode!r} "
+                             "(expected single | iterative)")
         req = _Request(query=query, expansions=expansions, seed_rows=seed_rows,
                        top_k=top_k, graph_window=graph_window, mode=mode)
         self._q.put(req)
@@ -188,6 +191,8 @@ class QueryServer:
                         k_eff = int(top_k or self.engine.config.top_k)
                         p1 = (dispatch_async or self.engine.query_batch)(
                             queries, top_k=max(k_eff, 20),
+                            expansions=kwargs["expansions"],
+                            seed_rows=kwargs["seed_rows"],
                             graph_window=window)
                         if dispatch_async is None:
                             p1 = _Resolved(p1)

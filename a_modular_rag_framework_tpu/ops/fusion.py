@@ -107,16 +107,17 @@ def fuse_pools_compact(
 
     sort_ids = jnp.where(valid_cat, ids_cat, n + 1)
     # int32 key is safe: ids < 2^30 (1B rows) leaves room for the flag bit.
-    # (id, flag) is unique per row (each pool holds distinct ids), so the
-    # key is unique and ONE unstable variadic sort carrying all payloads
-    # replaces argsort + 5 take_along_axis gathers with identical results
-    # (measured on v5e at B=2048, P=G=200: fusion 76ms -> the sort is one
-    # HLO and the payloads ride it instead of 5 separate row-gathers).
+    # (id, flag) is unique per row (each pool holds distinct ids), so ONE
+    # variadic sort carrying all payloads replaces argsort + 5
+    # take_along_axis gathers with identical results (measured on v5e at
+    # B=2048, P=G=200: fusion 76ms -> 29ms incl. dispatch RTT — the sort
+    # is one HLO and the payloads ride it instead of 5 row-gathers). The
+    # sorted ids are recovered from the key by a shift rather than riding
+    # as an extra payload column.
     key = sort_ids * 2 + flag
-    key_s, ids_s, fused_s, nt_s, ng_s, nd_s = jax.lax.sort(
-        (key, sort_ids, fused_cat, nt_cat, ng_cat, nd_cat),
-        dimension=1, num_keys=1)
-    del key_s
+    key_s, fused_s, nt_s, ng_s, nd_s = jax.lax.sort(
+        (key, fused_cat, nt_cat, ng_cat, nd_cat), dimension=1, num_keys=1)
+    ids_s = key_s >> 1
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=jnp.bool_),
          ids_s[:, 1:] == ids_s[:, :-1]], axis=1,

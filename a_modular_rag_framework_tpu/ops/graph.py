@@ -100,12 +100,13 @@ def expand_frontier(
     return scores.astype(jnp.float32), dist
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(jax.jit, static_argnames=("window", "wave_dtype"))
 def expand_frontier_weighted(
     neighbors: jax.Array,  # [N, deg] int32, -1 padded
     seed_scores: jax.Array,  # [N] f32 (0 = not a seed)
     *,
     window: int,
+    wave_dtype: str = "float32",
 ) -> jax.Array:
     """Seed-strength propagation: score[m] = max over seeds s of
     ``seed_scores[s] * decay(d(s, m))`` (d = path length, <= window).
@@ -127,12 +128,18 @@ def expand_frontier_weighted(
     safe_nbrs = jnp.where(neighbors >= 0, neighbors, 0)
     has_nbr = neighbors >= 0
 
-    wave = jnp.maximum(seed_scores, 0.0)
-    best = wave * decay[0]
+    # same wave_dtype contract as `expand_frontier_weighted_batched`:
+    # bf16 rounds the wave at identical points across the vmapped,
+    # batched, and sharded formulations, so all three agree bit-for-bit
+    wdt = jnp.dtype(wave_dtype)
+    seeds_f32 = jnp.maximum(seed_scores, 0.0).astype(jnp.float32)
+    wave = seeds_f32.astype(wdt)
+    best = seeds_f32 * decay[0]
     for h in range(1, max(window, 0) + 1):
-        gathered = jnp.where(has_nbr, jnp.take(wave, safe_nbrs), 0.0)
+        gathered = jnp.where(has_nbr, jnp.take(wave, safe_nbrs),
+                             jnp.array(0, wdt))
         wave = jnp.max(gathered, axis=1) if deg else jnp.zeros_like(wave)
-        best = jnp.maximum(best, wave * decay[h])
+        best = jnp.maximum(best, wave.astype(jnp.float32) * decay[h])
     return best
 
 
@@ -201,11 +208,13 @@ def expand_frontier_weighted_batched(
 
     # wave_dtype="bfloat16" halves the expansion's HBM traffic (the
     # per-column gathers dominate this op: deg x [B, N] reads per hop);
-    # the returned `best` stays f32. Opt-in — bf16 rounds hop values
+    # the returned `best` stays f32 and hop-0 keeps FULL seed precision
+    # (only the gathered wave is rounded). Opt-in — bf16 rounds hop values
     # (0.7 is not representable), so bit-for-bit oracle parity needs f32.
     wdt = jnp.dtype(wave_dtype)
-    wave = jnp.maximum(seed_scores, 0.0).astype(wdt)  # [B, N]
-    best = wave.astype(jnp.float32) * decay[0]
+    seeds_f32 = jnp.maximum(seed_scores, 0.0).astype(jnp.float32)
+    wave = seeds_f32.astype(wdt)  # [B, N]
+    best = seeds_f32 * decay[0]
     for h in range(1, max(window, 0) + 1):
         # fori_loop (not an unrolled python loop): the unrolled form lets
         # XLA keep all deg gather outputs live at once — 34 x [B, N] f32 =

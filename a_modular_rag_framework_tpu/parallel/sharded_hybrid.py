@@ -29,8 +29,8 @@ contributes up to ``term_topm`` candidates PER SHARD — a superset of the
 single-chip window. With ``term_topm`` >= the longest posting list both
 paths are exact and agree bit-for-bit (asserted by tests and the driver's
 ``dryrun_multichip``). Note the single-chip engine selects its graph pool
-with approx_max_k at n >= 32768 unless ``graph_pool_exact`` is set — this
-engine is always exact, so bit-for-bit claims at large n require
+with approx_max_k at n > 4096 unless ``graph_pool_exact`` is set — this
+engine is always exact, so bit-for-bit claims above that size require
 ``graph_pool_exact=True`` on the single-chip side.
 
 Memory: index rows (embeddings, CSR, doc tables, adjacency) are fully
@@ -390,15 +390,21 @@ class ShardedHybridEngine:
 
             safe_nbrs = jnp.where(nbrs_l >= 0, nbrs_l, 0)  # [n_local, deg]
             has_nbr = nbrs_l >= 0
-            best = wave * decay[0]
+            best = wave * decay[0]  # hop 0 keeps full seed precision
+            # graph_wave_dtype="bfloat16" rounds the wave at the SAME points
+            # as the single-chip batched formulation (cast once before the
+            # hops; maxes in wdt), so both paths stay bit-for-bit — and the
+            # per-hop all_gather moves half the ICI bytes
+            wdt = jnp.dtype(cfg.graph_wave_dtype)
+            wave = wave.astype(wdt)
             for h in range(1, max(window, 0) + 1):
                 gathered = jnp.where(
                     has_nbr[None], wave[:, safe_nbrs.reshape(-1)].reshape(
-                        B, n_local, -1), 0.0)
+                        B, n_local, -1), jnp.array(0, wdt))
                 new_local = jnp.max(gathered, axis=2)  # [B, n_local]
                 allw = jax.lax.all_gather(new_local, axis)  # [s, B, n_local]
                 wave = jnp.moveaxis(allw, 0, 1).reshape(B, n_pad)
-                best = jnp.maximum(best, wave * decay[h])
+                best = jnp.maximum(best, wave.astype(jnp.float32) * decay[h])
 
             P_g = min(pool_k, n_pad)
             g_pool_s, g_pool_i = jax.lax.top_k(best, P_g)
@@ -598,11 +604,14 @@ def dryrun_check(mesh: Mesh) -> None:
 
     corpus, queries = _tie_free_corpus()
     idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
-    for graph_impl in ("dense", "compact"):
+    for graph_impl, wave_dtype in (("dense", "float32"),
+                                   ("compact", "float32"),
+                                   ("dense", "bfloat16")):
         cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
                            bm25_term_topm=4096, batch_buckets=(8,),
                            graph_pool_exact=True, graph_impl=graph_impl,
-                           graph_compact_cap=64)
+                           graph_compact_cap=64,
+                           graph_wave_dtype=wave_dtype)
         single = TPUQueryEngine(idx, config=cfg)
         sharded = ShardedHybridEngine(idx, mesh=mesh, config=cfg)
 
