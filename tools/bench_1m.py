@@ -66,10 +66,12 @@ def main():
                                  embed_dtype="bfloat16", out_dir=str(CACHE))
         t_build = time.time() - t0
     B = args.batch
+    # same operating point as bench.py's scale rows
     engine = TPUQueryEngine(idx, config=EngineConfig(
         top_k=10, pool_k=args.pool_k, graph_window=2, batch_buckets=(B,),
         query_df_ratio_max=0.05, graph_impl=args.graph_impl,
-        graph_compact_cap=args.cap))
+        graph_compact_cap=args.cap, bm25_posting_cap=1024,
+        bm25_term_topm=32, graph_wave_dtype="bfloat16"))
     qs = [s["question"] for s in samples[:B]]
 
     t0 = time.time()
