@@ -107,6 +107,11 @@ class ReasoningAgentPlannerSynth:
         # entity hard-filter from capitalized question tokens
         require_entities = [w for w in (req.question or "").split()
                             if w and w[0].isupper()]
+        # full capitalized runs ("Tove Kelanan") for the selector's
+        # phrase bonus — token-level matching can't tell the question
+        # person from a first-name twin distractor
+        entity_phrases = re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b",
+                                     req.question or "")
 
         with span("Reasoning/Evidence", self.sink, trace_id):
             step_evidences, used = strategies.select_evidence_for_steps(
@@ -117,6 +122,7 @@ class ReasoningAgentPlannerSynth:
                 require_entities=require_entities,
                 neighbor_window=self.refine_window,
                 neighbor_max_expand=self.max_expand,
+                entity_phrases=entity_phrases,
             )
             citations = strategies.build_citation_block(hits, used)
 

@@ -171,12 +171,22 @@ def select_evidence_for_steps(
     require_entities: Optional[List[str]] = None,
     neighbor_window: int = 1,
     neighbor_max_expand: int = 5,
+    entity_phrases: Optional[List[str]] = None,
 ) -> Tuple[List[List[int]], set]:
     """Pick top-K evidence per plan step.
 
     Vectorized scoring: lexical overlap fused with channel norms where
     present; entity hard-filter; neighbor expansion; coverage-floor backfill.
     Returns (per-step index lists, union of used indices).
+
+    ``entity_phrases``: full multi-word entity strings from the question
+    ("Tove Kelanan"). A text containing a full phrase — or a full bridge
+    entity carried from an earlier step's pick — earns a strong bonus:
+    token-level overlap can't distinguish the question person from a
+    first-name twin distractor ("Tove Norlorcor was born in...") whose
+    text also matches the predicate words, and that one mis-pick poisons
+    the carry for every later step (measured as the dominant e2e failure
+    mode on the hard corpus).
     """
     H = list(hits)
     n = len(H)
@@ -197,32 +207,71 @@ def select_evidence_for_steps(
     has_channels = (st + sd + sg) > 0.0
     fused_chan = 0.5 * st + 0.3 * sd + 0.2 * sg
 
-    ents_lower = [e.lower() for e in (require_entities or [])]
-    if ents_lower:
-        ent_ok = np.array(
-            [any(e in t.lower() for e in ents_lower) for t in texts], dtype=bool
-        )
-    else:
-        ent_ok = np.ones(n, dtype=bool)
+    # entity ANCHOR filter (token-level): a candidate must share at least
+    # one entity token with the question — or, in later steps, with a
+    # carried bridge entity. The reference's substring filter was vacuous
+    # (sentence-initial capitals like "The"/"In" match inside any text);
+    # stopword-cleaned token matching makes it real, which keeps
+    # anchorless "P was born in C" strangers out of the picks (their
+    # entities would otherwise poison the carry for every later step).
+    _ANCHOR_STOP = {"the", "in", "a", "an", "of", "which", "what", "who",
+                    "where", "when", "why", "how", "was", "is", "did",
+                    "does", "to", "for", "at", "on", "by"}
+    ent_anchor = set()
+    for e in list(require_entities or []) + list(entity_phrases or []):
+        ent_anchor |= set(_stems(tokenize(e)))
+    ent_anchor -= {t for t in ent_anchor if t in _ANCHOR_STOP}
 
     has_text = text_lens > 0
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
 
     cap_re = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
     carry: set = set()  # bridge-entity tokens discovered in earlier steps
+    carry_phrases: set = set()  # full bridge-entity strings (lowercased)
+    q_phrases = {p.lower() for p in (entity_phrases or []) if " " in p}
+    texts_lower = [t.lower() for t in texts]
+    steps_lower = " \n ".join(str(s) for s in steps).lower()
+    # predicate tokens discriminate WITHIN a document: every sentence of
+    # the question entity's doc matches the entity tokens, so the relation
+    # words ("collaborator", "born", "city") are what separates the bridge
+    # sentence from biography filler — count them double
+    ent_stems = set()
+    for p in (entity_phrases or []) + list(require_entities or []):
+        ent_stems |= set(_stems(tokenize(p)))
 
     for step in steps:
         s_tokens = set(_stems(tokenize(step)))
         # multi-hop chains name the bridge entity only in evidence, never
         # in the question: entities found in earlier steps' picks join the
-        # lexical query (and count double — the bridge link is the signal)
+        # lexical query (and count double — the bridge link is the signal).
+        # Partial-phrase PENALTY: a text sharing some tokens of an entity
+        # phrase but not the full phrase is a twin distractor ("Tove
+        # Norlorcor ..." vs "Tove Kelanan") — its token overlap is
+        # anti-signal, so subtract it back out; full-phrase matches and
+        # phrase-free texts score exactly as before
+        phrases = q_phrases | carry_phrases
+        ptoks = [(set(_stems(tokenize(p))), p) for p in phrases]
+        pred_tokens = s_tokens - ent_stems
         inter = np.array(
-            [len(s_tokens & tt) + 2 * len(carry & tt) for tt in text_tokens],
+            [len(s_tokens & tt) + len(pred_tokens & tt)
+             + 2 * len(carry & tt)
+             - 2 * sum(1 for pt, p in ptoks if (pt & tt) and p not in tl)
+             for tt, tl in zip(text_tokens, texts_lower)],
             dtype=np.float32,
         )
         lex = np.where(has_text, inter / log_lens, 0.0)
         score = np.where(has_channels, 0.6 * lex + 0.4 * fused_chan, lex)
-        eligible = ent_ok & has_text & (score >= min_score) & (score > 0)
+        # the anchor set grows with the carry: hop-2 evidence ("B was born
+        # in X") never mentions the question entity A — it anchors through
+        # the carried bridge entity B (measured on the hard corpus: 55% of
+        # e2e misses had the birth sentence retrieved but never selected)
+        anchor = ent_anchor | carry
+        if anchor:
+            anchored = np.array([bool(anchor & tt) for tt in text_tokens],
+                                dtype=bool)
+        else:
+            anchored = np.ones(n, dtype=bool)
+        eligible = anchored & has_text & (score >= min_score) & (score > 0)
 
         order = np.argsort(-score, kind="stable")
         picked = [int(i) for i in order if eligible[i]][: max(1, per_step_k)]
@@ -250,7 +299,16 @@ def select_evidence_for_steps(
                 # person sharing the question entity's first name ("Brisa
                 # Venanan collaborated with Brisa Wynanan") must still
                 # contribute the surname
-                carry.update(set(_stems(tokenize(ent))) - s_tokens)
+                novel = set(_stems(tokenize(ent))) - s_tokens
+                carry.update(novel)
+                # carry full phrases only for MULTI-WORD entities (person
+                # names) novel to the question: single capitalized words
+                # ("Critics", a city) are too noisy for the phrase bonus.
+                # Novelty = the phrase never appears in the plan text —
+                # NOT a substring test against require_entities, whose
+                # single-word tokens ("In") match inside names ("corIN")
+                if novel and " " in ent and ent.lower() not in steps_lower:
+                    carry_phrases.add(ent.lower())
 
     return step_evidences, used
 
