@@ -239,6 +239,40 @@ def test_strategies_channel_fusion_changes_ranking():
     assert evid[0][0] in (1, 2)  # entity-bearing, channel-boosted
 
 
+def test_strategies_anchor_filter_and_twin_penalty():
+    """The evidence selector's multi-hop machinery (the e2e EM
+    0.44 -> 0.87 fix): (a) a first-name twin distractor loses to the
+    full-phrase match; (b) hop-2 evidence anchors through the CARRIED
+    bridge entity; (c) anchorless stranger sentences never enter picks."""
+    hits = [
+        Hit(id="h0", score=0.9, meta={"doc": "Tove Kelanan", "sent_id": 0,
+            "text": "Tove Kelanan collaborated closely with Corin Loranan."}),
+        Hit(id="h1", score=0.85, meta={"doc": "Tove Norlorcor", "sent_id": 0,
+            "text": "Tove Norlorcor was born in the city of Amberfield."}),
+        Hit(id="h2", score=0.8, meta={"doc": "Corin Loranan", "sent_id": 0,
+            "text": "Corin Loranan was born in the city of Junewood."}),
+        Hit(id="h3", score=0.75, meta={"doc": "Iris Ulzelbel", "sent_id": 0,
+            "text": "Iris Ulzelbel was born in the city of Oakhaven."}),
+        Hit(id="h4", score=0.7, meta={"doc": "Tove Kelanan", "sent_id": 1,
+            "text": "Critics praised the work of Tove Kelanan on maps."}),
+    ]
+    steps = ["Find facts about Tove Kelanan: city collaborator born.",
+             "Answer: city collaborator tove kelanan born."]
+    evid, used = strategies.select_evidence_for_steps(
+        steps, hits, per_step_k=2, min_score=0.01,
+        require_entities=["In", "Tove", "Kelanan"],
+        entity_phrases=["Tove Kelanan"],
+    )
+    # step 1: the bridge is picked (the twin penalty keeps the distractor
+    # from outranking it even though "born city" matches its predicates)
+    assert 0 in evid[0]
+    # step 2: the birth sentence anchors via the CARRIED bridge entity and
+    # outranks the first-name twin for the top slot
+    assert evid[1][0] == 2
+    # the anchorless stranger never enters any pick
+    assert all(3 not in e for e in evid)
+
+
 def test_strategies_neighbor_expansion():
     got = strategies.expand_with_neighbors({0}, _hits(), window=1, max_expand=5)
     assert got == {0, 1}  # Alpha Doc sent 0 -> sent 1
