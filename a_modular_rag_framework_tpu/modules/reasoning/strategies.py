@@ -252,6 +252,9 @@ def select_evidence_for_steps(
         phrases = q_phrases | carry_phrases
         ptoks = [(set(_stems(tokenize(p))), p) for p in phrases]
         pred_tokens = s_tokens - ent_stems
+        penalized = np.array(
+            [any((pt & tt) and p not in tl for pt, p in ptoks)
+             for tt, tl in zip(text_tokens, texts_lower)], dtype=bool)
         inter = np.array(
             [len(s_tokens & tt) + len(pred_tokens & tt)
              + 2 * len(carry & tt)
@@ -294,6 +297,11 @@ def select_evidence_for_steps(
         step_evidences.append(picked)
         used.update(picked)
         for i in picked:
+            if penalized[i]:
+                # never learn entities from a suspected twin: once picked,
+                # its own phrase would enter the carry and erase its
+                # penalty (self-legitimization), poisoning later steps
+                continue
             for ent in cap_re.findall(texts[i]):
                 # keep only the NOVEL tokens of each entity: a bridge
                 # person sharing the question entity's first name ("Brisa
