@@ -24,6 +24,13 @@ import numpy as np
 
 _TOKEN_RE = re.compile(r"[^a-zA-Z0-9]+")
 
+# function/question words excluded from entity anchors, carried entity
+# tokens, and predicate boosting (sentence-initial capitals like "In" or
+# "The" otherwise reach cap_re and make the anchor filter vacuous)
+_ANCHOR_STOP = {"the", "in", "a", "an", "of", "which", "what", "who",
+                "where", "when", "why", "how", "was", "is", "did",
+                "does", "to", "for", "at", "on", "by", "later", "and"}
+
 
 def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
@@ -180,13 +187,14 @@ def select_evidence_for_steps(
     Returns (per-step index lists, union of used indices).
 
     ``entity_phrases``: full multi-word entity strings from the question
-    ("Tove Kelanan"). A text containing a full phrase — or a full bridge
-    entity carried from an earlier step's pick — earns a strong bonus:
-    token-level overlap can't distinguish the question person from a
-    first-name twin distractor ("Tove Norlorcor was born in...") whose
-    text also matches the predicate words, and that one mis-pick poisons
-    the carry for every later step (measured as the dominant e2e failure
-    mode on the hard corpus).
+    ("Tove Kelanan"). A text that PARTIALLY matches a phrase (some tokens
+    but not the full string) is penalized as a suspected twin distractor
+    ("Tove Norlorcor was born in..."), and its entities are never learned
+    into the carry: token-level overlap can't distinguish the question
+    person from a first-name twin whose text also matches the predicate
+    words, and one mis-pick poisons the carry for every later step
+    (measured as the dominant e2e failure mode on the hard corpus).
+    Texts fully containing any phrase are exempt from the penalty.
     """
     H = list(hits)
     n = len(H)
@@ -214,13 +222,10 @@ def select_evidence_for_steps(
     # stopword-cleaned token matching makes it real, which keeps
     # anchorless "P was born in C" strangers out of the picks (their
     # entities would otherwise poison the carry for every later step).
-    _ANCHOR_STOP = {"the", "in", "a", "an", "of", "which", "what", "who",
-                    "where", "when", "why", "how", "was", "is", "did",
-                    "does", "to", "for", "at", "on", "by"}
     ent_anchor = set()
     for e in list(require_entities or []) + list(entity_phrases or []):
         ent_anchor |= set(_stems(tokenize(e)))
-    ent_anchor -= {t for t in ent_anchor if t in _ANCHOR_STOP}
+    ent_anchor -= _ANCHOR_STOP
 
     has_text = text_lens > 0
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
@@ -251,17 +256,25 @@ def select_evidence_for_steps(
         # phrase-free texts score exactly as before
         phrases = q_phrases | carry_phrases
         ptoks = [(set(_stems(tokenize(p))), p) for p in phrases]
-        pred_tokens = s_tokens - ent_stems
-        penalized = np.array(
-            [any((pt & tt) and p not in tl for pt, p in ptoks)
-             for tt, tl in zip(text_tokens, texts_lower)], dtype=bool)
-        inter = np.array(
-            [len(s_tokens & tt) + len(pred_tokens & tt)
-             + 2 * len(carry & tt)
-             - 2 * sum(1 for pt, p in ptoks if (pt & tt) and p not in tl)
+        # relation words only — function words would boost short filler
+        pred_tokens = s_tokens - ent_stems - _ANCHOR_STOP
+        # partial-phrase penalty counts, computed ONCE per step; a text
+        # FULLY containing any phrase (question or carried bridge) is
+        # exempt — a bridge sharing the question entity's first name must
+        # not be penalized for the partial match against the OTHER phrase
+        pen_counts = np.array(
+            [0 if any(p in tl for _, p in ptoks)
+             else sum(1 for pt, p in ptoks if pt & tt)
              for tt, tl in zip(text_tokens, texts_lower)],
             dtype=np.float32,
         )
+        penalized = pen_counts > 0
+        inter = np.array(
+            [len(s_tokens & tt) + len(pred_tokens & tt)
+             + 2 * len(carry & tt)
+             for tt in text_tokens],
+            dtype=np.float32,
+        ) - 2.0 * pen_counts
         lex = np.where(has_text, inter / log_lens, 0.0)
         score = np.where(has_channels, 0.6 * lex + 0.4 * fused_chan, lex)
         # the anchor set grows with the carry: hop-2 evidence ("B was born
@@ -307,7 +320,7 @@ def select_evidence_for_steps(
                 # person sharing the question entity's first name ("Brisa
                 # Venanan collaborated with Brisa Wynanan") must still
                 # contribute the surname
-                novel = set(_stems(tokenize(ent))) - s_tokens
+                novel = set(_stems(tokenize(ent))) - s_tokens - _ANCHOR_STOP
                 carry.update(novel)
                 # carry full phrases only for MULTI-WORD entities (person
                 # names) novel to the question: single capitalized words

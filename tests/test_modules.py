@@ -241,7 +241,7 @@ def test_strategies_channel_fusion_changes_ranking():
 
 def test_strategies_anchor_filter_and_twin_penalty():
     """The evidence selector's multi-hop machinery (the e2e EM
-    0.44 -> 0.87 fix): (a) a first-name twin distractor loses to the
+    0.44 -> 0.99 fix): (a) a first-name twin distractor loses to the
     full-phrase match; (b) hop-2 evidence anchors through the CARRIED
     bridge entity; (c) anchorless stranger sentences never enter picks."""
     hits = [

@@ -22,6 +22,7 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
 
 
 def main():
@@ -34,30 +35,22 @@ def main():
 
     import yaml
 
-    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
     from a_modular_rag_framework_tpu.core.dataset_loader import (
         SyntheticHotpotQALoader,
     )
     from a_modular_rag_framework_tpu.eval.metrics import exact_match
     from a_modular_rag_framework_tpu.system import answer_question
+    from e2e_run import build_corpus_settings
 
-    samples = SyntheticHotpotQALoader({
-        "count": args.samples, "seed": args.seed, "unique_entities": True,
-        "variety": args.corpus == "variety",
-    }).load()
-    work = Path(tempfile.mkdtemp(prefix="e2e_anatomy_"))
-    docs_out = work / "docs.jsonl"
-    ingest(samples, graph_root=work / "graph", docs_out=docs_out)
-    settings = yaml.safe_load((ROOT / "config" / "settings.yaml").read_text())
-    rk = settings["modules"]["retrieval"].setdefault("impl_kwargs", {})
-    rk["index_path"] = str(docs_out)
-    rk["graph_root"] = str(work / "graph")
-    settings["dataset"] = {
+    ds_cfg = {
         "type": "synthetic_hotpotqa", "count": args.samples,
         "seed": args.seed, "unique_entities": True,
         "variety": args.corpus == "variety",
     }
-    s_path = work / "settings.yaml"
+    samples = SyntheticHotpotQALoader(ds_cfg).load()
+    work = Path(tempfile.mkdtemp(prefix="e2e_anatomy_"))
+    s_path, settings = build_corpus_settings(samples, work)
+    settings["dataset"] = ds_cfg
     s_path.write_text(yaml.safe_dump(settings))
 
     buckets = Counter()

@@ -25,6 +25,26 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 
+def build_corpus_settings(samples, work: Path):
+    """Ingest a sample corpus under ``work`` and write a settings.yaml that
+    repoints the SHIPPED config at it (shared by e2e_run.py and
+    e2e_failure_anatomy.py so both always measure the same configuration).
+    Returns the settings path."""
+    import yaml
+
+    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
+
+    docs_out = work / "docs.jsonl"
+    ingest(samples, graph_root=work / "graph", docs_out=docs_out)
+    settings = yaml.safe_load((ROOT / "config" / "settings.yaml").read_text())
+    rk = settings["modules"]["retrieval"].setdefault("impl_kwargs", {})
+    rk["index_path"] = str(docs_out)
+    rk["graph_root"] = str(work / "graph")
+    s_path = work / "settings.yaml"
+    s_path.write_text(yaml.safe_dump(settings))
+    return s_path, settings
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="plain", choices=["plain", "variety"])
@@ -39,33 +59,21 @@ def main():
 
     import yaml
 
-    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
     from a_modular_rag_framework_tpu.core.dataset_loader import (
         SyntheticHotpotQALoader,
     )
     from a_modular_rag_framework_tpu.eval.metrics import exact_match, f1_score
     from a_modular_rag_framework_tpu.system import answer_question
 
-    samples = SyntheticHotpotQALoader({
-        "count": args.samples, "seed": args.seed, "unique_entities": True,
-        "variety": args.corpus == "variety",
-    }).load()
-
-    work = Path(tempfile.mkdtemp(prefix="e2e_run_"))
-    docs_out = work / "docs.jsonl"
-    ingest(samples, graph_root=work / "graph", docs_out=docs_out)
-
-    # shipped settings, repointed at this corpus
-    settings = yaml.safe_load((ROOT / "config" / "settings.yaml").read_text())
-    rk = settings["modules"]["retrieval"].setdefault("impl_kwargs", {})
-    rk["index_path"] = str(docs_out)
-    rk["graph_root"] = str(work / "graph")
-    settings["dataset"] = {
+    ds_cfg = {
         "type": "synthetic_hotpotqa", "count": args.samples,
         "seed": args.seed, "unique_entities": True,
         "variety": args.corpus == "variety",
     }
-    s_path = work / "settings.yaml"
+    samples = SyntheticHotpotQALoader(ds_cfg).load()
+    work = Path(tempfile.mkdtemp(prefix="e2e_run_"))
+    s_path, settings = build_corpus_settings(samples, work)
+    settings["dataset"] = ds_cfg
     s_path.write_text(yaml.safe_dump(settings))
 
     ems, rems, f1s, verdicts = [], [], [], {}
