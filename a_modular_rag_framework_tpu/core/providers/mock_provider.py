@@ -18,6 +18,8 @@ import json
 import re
 from typing import Any, Dict, List, Tuple
 
+from ...utils.textspan import capitalized_runs
+
 _STOP = {
     "a", "an", "and", "are", "as", "at", "be", "by", "did", "do", "does",
     "for", "from", "had", "has", "have", "he", "her", "his", "in", "is",
@@ -106,7 +108,7 @@ class MockProvider:
 
     def _plan(self, prompt: str) -> str:
         q = _extract_question(prompt)
-        ents = [e for e in re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", q)
+        ents = [e for e in capitalized_runs(q)
                 if e not in self._QUESTION_WORDS]
         ent_toks = set(_tokenize(" ".join(ents)))
         preds = [w for w in _content_words(q) if w not in ent_toks]
@@ -135,7 +137,7 @@ class MockProvider:
         if not cites:
             return "No supporting evidence available."
 
-        q_ents = re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", q)
+        q_ents = capitalized_runs(q)
         q_ents = [e for e in q_ents if e not in _QW]
         q_words = set(_content_words(q))
         q_ent_tokens = set(_tokenize(" ".join(q_ents)))
@@ -167,7 +169,7 @@ class MockProvider:
 
         best_pair = None  # (score, k2, t2, k1)
         for k1, t1 in h1s:
-            bridge = [e for e in re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b", t1)
+            bridge = [e for e in capitalized_runs(t1)
                       if e not in _QW and e not in q_ents
                       and not any(e in qe or qe in e for qe in q_ents)]
             if not bridge:

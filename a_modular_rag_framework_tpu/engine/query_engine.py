@@ -89,14 +89,23 @@ class EngineConfig:
     # hop-2 sort width is cap*deg: 256 measured best at B=2048/deg=34
     # (9.26k q/s vs 6.19k at 512 on the 101k corpus, recall unchanged)
     graph_compact_cap: int = 256
-    # dense-path wave precision: "bfloat16" halves the expansion's HBM
-    # traffic (the dominant stage of the dense graph formulation). f32
-    # default = bit-for-bit oracle parity (bf16 rounds hop decays).
-    graph_wave_dtype: str = "float32"
-    # graph pool selection uses the TPU's approx_max_k above 4k rows
-    # (exact top_k lowers to a full per-row sort); set True to force the
+    # dense-path wave precision: "bfloat16" (the shipped default, matching
+    # config/settings.yaml) halves the expansion's HBM traffic — the
+    # dominant stage of the dense graph formulation — at identical measured
+    # recall. Bit-exact float-oracle runs (e.g. NumPy parity tests) must
+    # set "float32": bf16 rounds hop decays and can flip near-tie graph
+    # rankings. The sharded engine applies the same dtype, so sharded ==
+    # single-chip bit-for-bit under either setting.
+    graph_wave_dtype: str = "bfloat16"
+    # graph pool selection switches to the TPU's approx_max_k at
+    # n > graph_pool_approx_from rows (exact top_k lowers to a full
+    # per-row sort); tail recall of the approximate pool is ~0.95.
+    # Raise the threshold (or set graph_pool_exact=True) to force the
     # exact path — required when bit-for-bit agreement with the sharded
-    # engine (which is always exact) matters more than throughput
+    # engine (which is always exact) matters more than throughput.
+    # (Was hard-coded 32768 through round 1, then 4096; now a config field
+    # so existing configs can pin prior behavior explicitly.)
+    graph_pool_approx_from: int = 4096
     graph_pool_exact: bool = False
     # idf-guided query pruning: drop query tokens whose document frequency
     # exceeds this fraction of the corpus before encoding (0 = off, the
@@ -594,7 +603,7 @@ class TPUQueryEngine:
                     graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
 
             P_g = min(pool_k, n)
-            if n > 4096 and not cfg.graph_pool_exact:
+            if n > cfg.graph_pool_approx_from and not cfg.graph_pool_exact:
                 # exact top_k over [B, N] lowers to a full per-row sort —
                 # at B=2048, N=13.2k that sort is ~2048 x 13.2k keys, a
                 # triple-digit-ms stage; the TPU's hardware-assisted

@@ -18,7 +18,7 @@ from ...core.dto import GraphNode
 from ...utils.entity_linker import elq_link_entities
 from .segmenter import segment_context
 
-_CAPS_SPAN = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
+from ...utils.textspan import capitalized_runs
 
 ContextItem = Union[str, Tuple[Any, Any], List[Any], Dict[str, Any]]
 
@@ -108,7 +108,7 @@ class NodeBuilder:
             sent_texts = [n.text for n in nodes if n.type == "sentence"]
             entity_set = set()
             for t in sent_texts:
-                entity_set.update(_CAPS_SPAN.findall(t or ""))
+                entity_set.update(capitalized_runs(t or ""))
             for ent in elq_link_entities(" ".join(sent_texts)):
                 if ent.get("text"):
                     entity_set.add(ent["text"])

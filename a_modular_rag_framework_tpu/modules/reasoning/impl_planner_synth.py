@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 
 from ...core.dto import ReasoningIn, ReasoningOut
 from ...core.llm_router import LLMRouter
+from ...utils.textspan import capitalized_runs
 from ...telemetry.sinks import TelemetrySink, span
 from . import strategies
 
@@ -52,11 +53,12 @@ class ReasoningAgentPlannerSynth:
 
     def _plan(self, question: str, trace_id: str) -> List[str]:
         prompt = (
-            "You are a decomposition planner for multi-hop QA.\n"
+            "Break the multi-hop question below into the minimal chain of "
+            "single-fact lookups needed to answer it (max "
+            f"{self.max_hops} hops). Each hop must name exactly one fact to "
+            "find, checkable against a retrieved passage on its own.\n"
             f"Question: {question}\n"
-            f"Decompose into at most {self.max_hops} concise steps. "
-            "Return one step per line with a leading number like '1) ...'. "
-            "Steps should be atomic and verifiable."
+            "Output format: one hop per line, numbered '1) ...', nothing else."
         )
         out = self.router.complete(
             module="ReasoningAgent", purpose="plan", prompt=prompt,
@@ -64,14 +66,24 @@ class ReasoningAgentPlannerSynth:
                      "trace_id": trace_id},
         )
         steps: List[str] = []
-        for line in (strategies.coerce_text(out) or "").splitlines():
-            s = line.strip().lstrip("-•").strip()
+        lines = (strategies.coerce_text(out) or "").splitlines()
+        any_numbered = any(re.match(r"^\s*(?:step\s*)?\(?\d+[.):\]-]", ln,
+                                    re.I) for ln in lines)
+        for line in lines:
+            s = line.strip().lstrip("-•*").strip()
             if not s:
                 continue
-            # strip a leading "<n>)" / "<n>." marker
-            m = re.match(r"^\d+[.)]\s*(.*)$", s)
+            # strip a leading step marker in its observed LLM variants:
+            # "1)", "2.", "3:", "(4)", "5 -", "Step 6:", "step 7 -"
+            m = re.match(r"^(?:step\s*)?\(?(\d+)\)?\s*[.):\]-]\s*(.*)$", s,
+                         re.I)
             if m:
-                s = m.group(1).strip()
+                s = m.group(2).strip()
+            elif any_numbered:
+                # some replies open with prose ("Sure! Here is the plan:")
+                # before the numbered list — when numbering exists anywhere,
+                # unnumbered lines are chatter, not steps
+                continue
             if s:
                 steps.append(s)
         return steps[: self.max_hops] or [question]
@@ -79,9 +91,10 @@ class ReasoningAgentPlannerSynth:
     def _synthesize(self, *, question: str, steps: List[str], citations: str,
                     trace_id: str) -> str:
         guidance = (
-            "Synthesize a final answer using ONLY the provided citations. "
-            "Cite evidence inline using [#k] where k is the citation number. "
-            "Be concise and factual."
+            "Answer the question from the numbered citations below and from "
+            "nothing else — if the citations don't contain the answer, say "
+            "so rather than guessing. Mark every claim you make with the "
+            "[#k] tag of the citation that backs it. Keep the answer short."
         )
         plan_block = "\n".join(f"Step {i + 1}: {s}" for i, s in enumerate(steps))
         prompt = (
@@ -110,8 +123,8 @@ class ReasoningAgentPlannerSynth:
         # full capitalized runs ("Tove Kelanan") for the selector's
         # phrase bonus — token-level matching can't tell the question
         # person from a first-name twin distractor
-        entity_phrases = re.findall(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b",
-                                     req.question or "")
+        entity_phrases = capitalized_runs(req.question or "",
+                                          min_words=2, particles=True)
 
         with span("Reasoning/Evidence", self.sink, trace_id):
             step_evidences, used = strategies.select_evidence_for_steps(

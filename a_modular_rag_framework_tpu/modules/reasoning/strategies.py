@@ -22,6 +22,8 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
+from ...utils.textspan import capitalized_runs
+
 _TOKEN_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 # function/question words excluded from entity anchors, carried entity
@@ -230,7 +232,6 @@ def select_evidence_for_steps(
     has_text = text_lens > 0
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
 
-    cap_re = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
     carry: set = set()  # bridge-entity tokens discovered in earlier steps
     carry_phrases: set = set()  # full bridge-entity strings (lowercased)
     q_phrases = {p.lower() for p in (entity_phrases or []) if " " in p}
@@ -315,7 +316,7 @@ def select_evidence_for_steps(
                 # its own phrase would enter the carry and erase its
                 # penalty (self-legitimization), poisoning later steps
                 continue
-            for ent in cap_re.findall(texts[i]):
+            for ent in capitalized_runs(texts[i]):
                 # keep only the NOVEL tokens of each entity: a bridge
                 # person sharing the question entity's first name ("Brisa
                 # Venanan collaborated with Brisa Wynanan") must still

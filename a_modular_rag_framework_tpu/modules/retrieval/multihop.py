@@ -21,7 +21,7 @@ import numpy as np
 
 from ...models.hash_embed import tokenize
 
-_ENT_RE = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
+from ...utils.textspan import capitalized_runs
 _QUESTION_WORDS = {"Where", "What", "Who", "Which", "When", "Why", "How",
                    "In", "The", "Is", "Was", "Were", "Are", "Did", "Does",
                    "Do", "A", "An"}
@@ -40,7 +40,7 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
         the corpus — a bridge is by definition the name of another document
         (this also drops sentence-initial capitalized words like "Later").
     Ranked by (co-occurrence count, earliest hit)."""
-    q_ents = [e for e in _ENT_RE.findall(query) if e not in _QUESTION_WORDS]
+    q_ents = [e for e in capitalized_runs(query) if e not in _QUESTION_WORDS]
     q_tokens = set(tokenize(query))
     counts: Dict[str, int] = {}
     first_seen: Dict[str, int] = {}
@@ -48,7 +48,7 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
         text = text or ""
         if q_ents and not any(qe in text for qe in q_ents):
             continue  # not a true hop-1 sentence
-        for e in _ENT_RE.findall(text):
+        for e in capitalized_runs(text):
             if e in _QUESTION_WORDS or e in q_ents:
                 continue
             if any(e in qe or qe in e for qe in q_ents):
@@ -68,7 +68,7 @@ def hop2_queries_for(query: str, bridges: Sequence[str],
     """One hop-2 query PER bridge entity (bridge + the question's predicate
     words); the engine max-merges them as BM25 variants, so a wrong bridge
     can't dilute a right one."""
-    q_ents = set(e for e in _ENT_RE.findall(query) if e not in _QUESTION_WORDS)
+    q_ents = set(e for e in capitalized_runs(query) if e not in _QUESTION_WORDS)
     ent_tokens = set(tokenize(" ".join(q_ents)))
     predicates = [t for t in tokenize(query)
                   if t not in ent_tokens and len(t) > 2]
@@ -180,14 +180,17 @@ def _prep_and_dispatch_hop2(
     scores1 = np.asarray(r1.hits.scores)
     norms1 = np.asarray(r1.channel_norms)  # [3, B, K1]
 
-    # O(N) over the corpus — cache on the engine (immutable index), it sits
-    # on the pipelined host critical path once per batch otherwise
-    known_titles = getattr(engine, "_mh_known_titles", None)
-    if known_titles is None:
+    # O(N) over the corpus — cache on the engine, keyed on the index object
+    # so a reload()/swapped index invalidates it; it sits on the pipelined
+    # host critical path once per batch otherwise
+    cached = getattr(engine, "_mh_known_titles", None)
+    if cached is not None and cached[0] is engine.index:
+        known_titles = cached[1]
+    else:
         known_titles = {d.get("title") for d in engine.index.corpus.docs}
         known_titles.discard(None)
         try:
-            engine._mh_known_titles = known_titles
+            engine._mh_known_titles = (engine.index, known_titles)
         except AttributeError:
             pass
 

@@ -110,16 +110,31 @@ def map_fine_verdict(
     agreement_rate: float,
     core_indirect: bool = False,
 ) -> str:
-    """Fine verdict precedence: explicit contradiction > low agreement >
-    supported (indirect -> PARTIAL, noisy -> PASS-WITH-NOISE) > PARTIAL."""
-    if contradicted and not core_indirect:
-        return "FAIL-CONTRADICTED"
-    if agreement_rate < 0.5:
-        return "INCONCLUSIVE"
-    if core_supported:
-        if core_indirect and not core_missing:
-            return "PARTIAL"
-        return "PASS-WITH-NOISE" if noisy else "PASS"
+    """Resolve channel signals into one of the five fine verdicts.
+
+    Evaluated as a first-match precedence table (strongest signal wins):
+    an explicit, directly-evidenced contradiction fails the answer; runs
+    that cannot agree are inconclusive; directly supported answers pass
+    (demoted one notch when noisy citations are present); everything
+    else — indirect-only support or missing core evidence — is PARTIAL.
+    Same decision surface as the reference verifier
+    (/root/reference/app/modules/verification/impl_rules_llm.py:177-197).
+    """
+    # "indirect-only" = every core fact implied but none stated AND no core
+    # fact is missing either; indirect + missing still counts as a pass in
+    # the reference's decision surface (kept for parity)
+    indirect_only = core_indirect and not core_missing
+    passes = core_supported and not indirect_only
+    ladder = (
+        (contradicted and not core_indirect, "FAIL-CONTRADICTED"),
+        (agreement_rate < 0.5, "INCONCLUSIVE"),
+        (core_supported and indirect_only, "PARTIAL"),
+        (passes and noisy, "PASS-WITH-NOISE"),
+        (passes, "PASS"),
+    )
+    for fired, verdict in ladder:
+        if fired:
+            return verdict
     return "PARTIAL"
 
 

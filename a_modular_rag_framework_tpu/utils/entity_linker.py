@@ -14,12 +14,12 @@ from typing import Callable, Dict, List, Optional
 
 logger = logging.getLogger(__name__)
 
-_NER_RE = re.compile(r"[A-Z][a-z]+(?: [A-Z][a-z]+)*")
+from .textspan import capitalized_runs
 
 
 def simple_ner(text: str) -> List[str]:
     """Lightweight proper-noun span extraction."""
-    return _NER_RE.findall(text or "")
+    return capitalized_runs(text or "")
 
 
 def _mock_entities(text: str, max_entities: int) -> List[Dict[str, str]]:

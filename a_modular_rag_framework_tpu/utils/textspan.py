@@ -1,0 +1,77 @@
+"""Unicode-aware capitalized-span extraction (shared NER-lite helper).
+
+Replaces the ASCII-only ``\\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\\b`` pattern used
+throughout the reference (e.g. /root/reference/app/modules/graph_construction/
+node_builder.py:80, /root/reference/app/utils/entity_linker.py) with a
+tokenizer that also handles diacritics (Çelik), apostrophes (O'Brien),
+internal caps (McDonald), and hyphens (Jean-Luc), and can optionally bridge
+lowercase name particles (de / van / of ...) inside a run.
+"""
+from __future__ import annotations
+
+import re
+from typing import List
+
+# word = letters (any script) possibly joined by apostrophes/hyphens
+_TOKEN_RE = re.compile(r"[^\W\d_](?:[^\W\d_]|['’\-])*", re.UNICODE)
+
+# lowercase particles allowed *inside* a capitalized run when particles=True
+_PARTICLES = frozenset({
+    "de", "del", "della", "der", "den", "da", "das", "dos", "do", "di",
+    "du", "van", "von", "la", "le", "al", "bin", "ibn", "of", "ter",
+    "ten", "y", "e",
+})
+
+
+def _is_cap_word(tok: str) -> bool:
+    """Capitalized word: upper-initial, len >= 2, and not an all-caps
+    acronym — mirrors what the old ASCII pattern accepted, minus its
+    blindness to non-ASCII letters and internal capitals."""
+    return (len(tok) >= 2 and tok[0].isupper()
+            and any(c.islower() for c in tok))
+
+
+def capitalized_runs(text: str, *, min_words: int = 1,
+                     particles: bool = False) -> List[str]:
+    """Return maximal runs of adjacent capitalized words in ``text``.
+
+    Words must be separated by plain spaces (any other character breaks the
+    run, like the old regex's single-space separator). With
+    ``particles=True``, lowercase name particles may sit between capitalized
+    words of one run ("Vincent van Gogh"); a run still must start and end on
+    a capitalized word. ``min_words`` counts capitalized words only.
+    """
+    runs: List[str] = []
+    run_start = run_end = -1   # char span of current run (ends on cap word)
+    caps_in_run = 0
+    pending_particle_ok = False
+    prev_end = -1
+
+    def flush() -> None:
+        nonlocal run_start, run_end, caps_in_run, pending_particle_ok
+        if caps_in_run >= min_words and run_start >= 0:
+            runs.append(text[run_start:run_end])
+        run_start = run_end = -1
+        caps_in_run = 0
+        pending_particle_ok = False
+
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        gap = text[prev_end:m.start()] if prev_end >= 0 else ""
+        adjacent = run_start >= 0 and gap == " "
+        if _is_cap_word(tok):
+            if not adjacent:
+                flush()
+                run_start = m.start()
+                caps_in_run = 0
+            run_end = m.end()
+            caps_in_run += 1
+            pending_particle_ok = particles
+        elif adjacent and pending_particle_ok and tok.lower() in _PARTICLES:
+            # particle rides along; run only extends if a cap word follows
+            pass
+        else:
+            flush()
+        prev_end = m.end()
+    flush()
+    return runs

@@ -334,8 +334,11 @@ def test_graph_impl_compact_matches_dense_both_seed_modes():
     corpus = SentenceCorpus.from_hotpotqa(samples)
     idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
     qs = [s["question"] for s in samples]
+    # float32 waves: dense and compact round bf16 at different points, so
+    # the bit/1e-5 oracle comparison requires the exact dtype (the shipped
+    # default is bfloat16 — see EngineConfig.graph_wave_dtype)
     base = dict(top_k=10, pool_k=64, graph_window=2, bm25_term_topm=4096,
-                batch_buckets=(32,))
+                batch_buckets=(32,), graph_wave_dtype="float32")
     e_d = TPUQueryEngine(idx, config=EngineConfig(graph_impl="dense", **base))
     e_c = TPUQueryEngine(idx, config=EngineConfig(
         graph_impl="compact", graph_compact_cap=2048, **base))

@@ -1,0 +1,189 @@
+"""Fixture tests: realistic messy LLM outputs through the coercion seams.
+
+The reference hardens against malformed provider/LLM output shapes
+(/root/reference/app/modules/reasoning/strategies.py:38-95 for provider
+shapes, /root/reference/app/modules/verification/impl_rules_llm.py:275-338
+for unparseable fact-check JSON). These tests replay the mess a real
+deployment sees — prose-wrapped JSON, markdown fences, deviant numbering,
+truncation, streaming shapes — through our equivalents.
+"""
+from __future__ import annotations
+
+import pytest
+
+from a_modular_rag_framework_tpu.core.dto import Hit, VerifyIn
+from a_modular_rag_framework_tpu.modules.reasoning import strategies
+from a_modular_rag_framework_tpu.modules.reasoning.impl_planner_synth import (
+    ReasoningAgentPlannerSynth,
+)
+from a_modular_rag_framework_tpu.modules.verification.impl_rules_llm import (
+    VerifierAgentRulesLLM,
+    _safe_json,
+)
+from a_modular_rag_framework_tpu.utils.textspan import capitalized_runs
+
+
+class ScriptedRouter:
+    """LLMRouter stand-in returning queued raw outputs verbatim."""
+
+    def __init__(self, outputs):
+        self.outputs = list(outputs)
+        self.prompts = []
+
+    def complete(self, *, module, purpose, prompt, require=None):
+        self.prompts.append((module, purpose, prompt))
+        out = self.outputs.pop(0) if self.outputs else {"text": ""}
+        return out
+
+    def embed(self, texts, **kw):
+        return [[0.0] * 8 for _ in texts]
+
+
+# ---- provider output shapes -> coerce_text ----
+
+@pytest.mark.parametrize("raw,expect", [
+    ({"text": "plain"}, "plain"),
+    ({"text": {"content": [{"type": "text", "text": "nested"}]}}, "nested"),
+    ({"message": {"content": "msg"}}, "msg"),
+    ({"message": {"content": [{"type": "text", "text": "blocks"}]}}, "blocks"),
+    ({"choices": [{"message": {"content": "openai"}}]}, "openai"),
+    ({"choices": [{"delta": {"content": "stream"}}]}, "stream"),
+    ({"choices": [{"text": "legacy"}]}, "legacy"),
+    ({"output_text": "responses-api"}, "responses-api"),
+    ("bare string", "bare string"),
+    (None, ""),
+    ({"usage": {"tokens": 5}}, ""),          # no text anywhere
+    ({"choices": []}, ""),
+])
+def test_coerce_text_shapes(raw, expect):
+    assert strategies.coerce_text(raw) == expect
+
+
+# ---- plan parsing under deviant numbering / chatter ----
+
+def _plan_with(raw_text):
+    router = ScriptedRouter([{"text": raw_text}])
+    agent = ReasoningAgentPlannerSynth(router, max_hops=3, sc_runs=1)
+    return agent._plan("Who founded the town where X was born?", "t")
+
+
+def test_plan_parses_clean_numbering():
+    assert _plan_with("1) find X's birthplace\n2) find its founder") == [
+        "find X's birthplace", "find its founder"]
+
+
+def test_plan_parses_deviant_numbering_variants():
+    assert _plan_with(
+        "Step 1: locate the person\n(2) locate the city\n3 - name the founder"
+    ) == ["locate the person", "locate the city", "name the founder"]
+
+
+def test_plan_skips_prose_preamble_and_bullets():
+    raw = ("Sure! Here is a decomposition plan for your question:\n\n"
+           "1. Identify the collaborator\n"
+           "2. Find that person's birth city\n"
+           "Hope this helps!")
+    assert _plan_with(raw) == ["Identify the collaborator",
+                               "Find that person's birth city"]
+
+
+def test_plan_truncated_output_falls_back_to_question():
+    # a hard-truncated reply ("1) fi") still yields a usable step; a fully
+    # empty reply falls back to the question itself
+    assert _plan_with("1) fi") == ["fi"]
+    q = "Who founded the town where X was born?"
+    assert _plan_with("") == [q]
+
+
+def test_plan_unnumbered_lines_kept_when_nothing_numbered():
+    assert _plan_with("find the person\nfind the city") == [
+        "find the person", "find the city"]
+
+
+# ---- fact-check JSON coercion ----
+
+def test_safe_json_prose_wrapped():
+    s = ('Here is my assessment of the answer:\n'
+         '{"verdict": "supported", "score": 0.92}\nLet me know if you '
+         'need more detail.')
+    assert _safe_json(s) == {"verdict": "supported", "score": 0.92}
+
+
+def test_safe_json_markdown_fenced():
+    s = '```json\n{"verdict": "partial", "score": 0.5}\n```'
+    assert _safe_json(s) == {"verdict": "partial", "score": 0.5}
+
+
+def test_safe_json_truncated_returns_none():
+    assert _safe_json('{"verdict": "supported", "score": 0.') is None
+    assert _safe_json("I cannot comply with that.") is None
+    assert _safe_json("") is None
+
+
+def _verify_with(fact_check_outputs):
+    hits = [Hit(id="sent::D::0", score=1.0,
+                meta={"doc": "D", "sent_id": 0, "text": "X was born in Y."})]
+    router = ScriptedRouter(fact_check_outputs)
+    v = VerifierAgentRulesLLM(router, sc_runs=len(fact_check_outputs),
+                              enable_claim_check=False)
+    return v.verify(VerifyIn(question="Where was X born?",
+                             answer="X was born in Y [#1].",
+                             evidence=hits, trace_id="t"))
+
+
+def test_verifier_survives_prose_wrapped_and_fenced_json():
+    out = _verify_with([
+        {"text": 'Assessment: {"verdict": "supported", "score": 0.9, '
+                 '"facts": {"core": [{"fact": "born in Y", '
+                 '"status": "supported"}], "secondary": []}, '
+                 '"valid_citations": [1]} -- done'},
+        {"text": '```json\n{"verdict": "supported", "score": 0.88, '
+                 '"facts": {"core": [{"fact": "born in Y", '
+                 '"status": "supported"}], "secondary": []}}\n```'},
+    ])
+    assert out.verdict in ("PASS", "PASS-WITH-NOISE")
+    assert out.score > 0.6
+
+
+def test_verifier_unparseable_output_maps_to_fallback_not_crash():
+    # every run returns junk: the verdict->score fallback map engages and
+    # the verdict resolves conservatively instead of raising
+    out = _verify_with([
+        {"text": "As an AI language model, I cannot verify this."},
+        {"text": '{"verdict": "supported", "score": 0.'},  # truncated
+        {"text": ""},
+    ])
+    assert out.verdict in ("PARTIAL", "INCONCLUSIVE")
+    assert 0.0 <= out.score <= 1.0
+
+
+def test_verifier_mixed_runs_majority_wins():
+    good = {"text": '{"verdict": "supported", "score": 0.9, "facts": '
+                    '{"core": [{"fact": "f", "status": "supported"}], '
+                    '"secondary": []}, "valid_citations": [1]}'}
+    junk = {"text": "no json here"}
+    out = _verify_with([good, good, junk])
+    assert out.verdict in ("PASS", "PASS-WITH-NOISE")
+
+
+# ---- unicode-aware capitalized runs (ADVICE round-2 item) ----
+
+def test_capitalized_runs_handles_nonascii_names():
+    assert capitalized_runs("Essays by José Čapek and Ásta Björk",
+                            min_words=2) == ["José Čapek", "Ásta Björk"]
+
+
+def test_capitalized_runs_particles_and_internal_caps():
+    got = capitalized_runs("A study of Vincent van Gogh by O'Brien McDonald",
+                           min_words=2, particles=True)
+    assert "Vincent van Gogh" in got
+    assert "O'Brien McDonald" in got
+
+
+def test_capitalized_runs_matches_old_ascii_behavior():
+    # the old regex's core behavior is preserved: single-space runs,
+    # acronyms excluded, min_words respected
+    assert capitalized_runs("Kestrel Point and Zephyr Bay, plus NASA",
+                            min_words=2) == ["Kestrel Point", "Zephyr Bay"]
+    assert capitalized_runs("In which city was Alden Ravkelsel born?",
+                            min_words=2) == ["Alden Ravkelsel"]
