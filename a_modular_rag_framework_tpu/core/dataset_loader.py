@@ -99,6 +99,20 @@ class SyntheticHotpotQALoader(DatasetLoader):
         # counter, so large corpora don't collapse under (title, sent_id)
         # dedup (the 20x20 name pools collide past ~400 docs)
         self.unique_entities = bool(cfg.get("unique_entities", False))
+        # collide_entities: factored name pools — person #c gets first name
+        # c % first_pool and surname (c // first_pool) % last_pool, so FULL
+        # names (titles) stay unique up to first_pool*last_pool persons
+        # while each first-name/surname TOKEN is shared by many people
+        # across samples. At 5M rows every query's name tokens match
+        # hundreds of distractor passages (like real fullwiki surnames), so
+        # recall@k genuinely can fail — unlike unique_entities filler,
+        # whose added passages share no tokens with any query (the round-2
+        # scale-recall flaw). Pools are fixed constants so a prefix load
+        # (count=2048) regenerates the exact questions of a larger cached
+        # corpus.
+        self.collide_entities = bool(cfg.get("collide_entities", False))
+        self.first_pool = int(cfg.get("first_pool", 2048))
+        self.last_pool = int(cfg.get("last_pool", 4096))
         # variety: varied sentence/question templates, filler sentences,
         # variable doc lengths, hard distractors (shared surnames/cities) —
         # a closer proxy for real HotpotQA text statistics
@@ -120,6 +134,20 @@ class SyntheticHotpotQALoader(DatasetLoader):
         return "".join(parts).capitalize()
 
     def _person(self, rng: random.Random) -> str:
+        if self.collide_entities:
+            c = self._name_counter
+            self._name_counter += 1
+            # Knuth-mix the counter (odd multiplier -> bijection mod the
+            # power-of-two pool product) so both name factors spread
+            # uniformly at ANY corpus size; plain div/mod would reuse ~3
+            # surnames for the first 6k persons
+            m = (c * 2654435761) % (self.first_pool * self.last_pool)
+            # even indices -> first names, odd -> surnames: the synthesis
+            # is injective per index, so the two token vocabularies are
+            # disjoint and a first name can never equal a surname
+            first = self._synth_surname(2 * (m % self.first_pool))
+            last = self._synth_surname(2 * (m // self.first_pool) + 1)
+            return f"{first} {last}"
         if self.unique_entities:
             self._name_counter += 1
             return f"{rng.choice(self.FIRST)} {self._synth_surname(self._name_counter)}"

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--cap", type=int, default=256,
                     help="compact-mode propagation cap per hop")
     ap.add_argument("--cache", type=str, default=str(DEFAULT_CACHE))
+    ap.add_argument("--entities", default="collide",
+                    choices=["collide", "unique"],
+                    help="collide = factored name pools (shared first/"
+                         "surname tokens across samples, titles unique) so "
+                         "distractors genuinely compete; unique = round-2 "
+                         "legacy filler")
     args = ap.parse_args()
     CACHE = Path(args.cache)
 
@@ -48,7 +54,8 @@ def main():
     t0 = time.time()
     samples = SyntheticHotpotQALoader(
         {"count": args.samples, "seed": 0, "n_distractors": 8,
-         "unique_entities": True}).load()
+         ("collide_entities" if args.entities == "collide"
+          else "unique_entities"): True}).load()
     gen_sec = time.time() - t0
     print(f"samples: {len(samples)} in {gen_sec:.0f}s", file=sys.stderr)
 
