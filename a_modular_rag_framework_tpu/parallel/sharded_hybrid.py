@@ -177,6 +177,17 @@ class ShardedHybridEngine:
         self.sink = sink
         self.mesh = mesh or build_mesh({axis: -1})
         self.axis = axis
+        # Any OTHER mesh axes (the outermost composed ``dcn_axes`` from
+        # mesh_from_settings) become data-parallel over the query batch:
+        # the index is replicated per dcn group (P(axis) leaves extra mesh
+        # dims unsharded), the batch splits across groups, and every
+        # collective inside the program names only ``axis`` so cross-shard
+        # merges ride ICI within a slice while DCN carries zero
+        # mid-program traffic — the multi-slice design of SURVEY §2b.
+        self.dp_axes = tuple(a for a in self.mesh.axis_names if a != axis)
+        self._dp_size = int(np.prod([self.mesh.shape[a]
+                                     for a in self.dp_axes], dtype=np.int64)
+                            ) if self.dp_axes else 1
         self.config = config or EngineConfig()
         self.encoder = encoder or HashEmbedEncoder(dim=index.embed_dim or 64)
         self._n = index.n_docs
@@ -263,16 +274,21 @@ class ShardedHybridEngine:
 
             Ties resolve by ascending global id: shards concatenate in row
             order and each shard's pool is already (score desc, id asc)."""
-            all_s = jax.lax.all_gather(local_s, axis)  # [s, B, P]
+            b_loc = local_s.shape[0]  # dcn DP: local block, not the bucket
+            all_s = jax.lax.all_gather(local_s, axis)  # [s, b_loc, P]
             all_i = jax.lax.all_gather(local_i, axis)
-            cat_s = jnp.moveaxis(all_s, 0, 1).reshape(B, -1)
-            cat_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+            cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b_loc, -1)
+            cat_i = jnp.moveaxis(all_i, 0, 1).reshape(b_loc, -1)
             top_s, pos = jax.lax.top_k(cat_s, pool_k)
             top_i = jnp.take_along_axis(cat_i, pos, axis=1)
             return top_s, top_i
 
         def local_fn(q_emb, term_ids, seed_rows, csr_ids, csr_sc, csr_rp,
                      emb_l, dt_l, ds_l, nbrs_l):
+            # under composed (dcn, data) meshes the query batch is split
+            # over the dcn axes, so every batch-shaped op below must use
+            # the LOCAL block size, not the closure's global bucket
+            B = q_emb.shape[0]  # noqa: F841 — shadows the key's global B
             sh = jax.lax.axis_index(axis).astype(jnp.int32)
             lo = sh * n_local
 
@@ -427,13 +443,16 @@ class ShardedHybridEngine:
             return f32_pack, i32_pack
 
         rowspec = P(self.axis, None)
+        # query-batch tensors split over the dcn DP axes (batch dim 0);
+        # with no dcn axes this degrades to fully-replicated P()
+        qspec = P(self.dp_axes) if self.dp_axes else P()
         fn = jax.jit(
             jax.shard_map(
                 local_fn,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(), rowspec, rowspec, rowspec,
+                in_specs=(qspec, qspec, qspec, rowspec, rowspec, rowspec,
                           rowspec, rowspec, rowspec, rowspec),
-                out_specs=(P(), P()),
+                out_specs=(qspec, qspec),
                 # outputs are value-replicated after the merges but carry an
                 # axis_index taint the static checker can't discharge
                 check_vma=False,
@@ -490,6 +509,9 @@ class ShardedHybridEngine:
                   else max(0, int(graph_window)))
         pool_k = min(cfg.pool_k, self._n)
         B = self._bucket(B_real)
+        if B % self._dp_size:
+            # dcn DP splits the batch dim across groups — pad the bucket up
+            B = -(-B // self._dp_size) * self._dp_size
 
         from ..engine.query_engine import (prepare_query_variants,
                                            trim_term_bucket)

@@ -149,7 +149,13 @@ def test_dcn_axes_compose_outermost():
     single = TPUQueryEngine(idx, config=cfg)
     sharded = ShardedHybridEngine(idx, mesh=mesh, axis="data", config=cfg)
     assert sharded.n_shards == 4
+    # the extra (dcn) axis is data-parallel over the query batch — not
+    # mere replication: the batch splits across dcn groups
+    assert sharded.dp_axes == ("dcn",)
+    assert sharded._dp_size == 2
     r1 = single.query_batch(queries, top_k=10)
     r2 = sharded.query_batch(queries, top_k=10)
     np.testing.assert_array_equal(np.asarray(r1.hits.ids),
                                   np.asarray(r2.hits.ids))
+    np.testing.assert_allclose(np.asarray(r1.hits.scores),
+                               np.asarray(r2.hits.scores), atol=1e-5)
