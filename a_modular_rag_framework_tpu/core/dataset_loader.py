@@ -285,8 +285,102 @@ class SyntheticHotpotQALoader(DatasetLoader):
             "supporting_facts": [[a, bridge_pos], [b, birth_pos]],
         }
 
+    # ---- held-out template families (selector-generalization eval) ----
+    #
+    # NEVER used during evidence-selector tuning (VERDICT r2 weak item 7):
+    # new predicates (mentor/prize, sibling/employer, hometown/river), a
+    # non-person bridge (a city document), and non-location answers. The
+    # e2e EM on these families is the generalization check for the
+    # anchor/twin/predicate selector heuristics tuned on the plain+variety
+    # corpora.
+
+    PRIZE = ["Hollman Prize", "Varden Medal", "Ostler Award", "Quillon Prize",
+             "Bracken Medal", "Selwyn Honor", "Tarrow Prize", "Lindell Award"]
+    COMPANY = ["Gildencorp Works", "Harrowgate Mills", "Vantage Foundry",
+               "Bellweather Press", "Crestline Shipping", "Marrowfield Glass",
+               "Northquay Timber", "Stellhaven Instruments"]
+    RIVER = ["Arlen", "Brammel", "Corvane", "Dunwell", "Elderflow",
+             "Farrow", "Greywater", "Hallbeck"]
+
+    def _make_sample_heldout(self, i: int) -> Dict[str, Any]:
+        rng = random.Random(f"{self.seed}:{i}:h")
+        family = ("award", "employer", "river")[i % 3]
+        a = self._person(rng)
+        b = self._person(rng)
+        city = rng.choice(self.CITY)
+
+        if family == "award":
+            prize = rng.choice(self.PRIZE)
+            question = f"What prize did the mentor of {a} receive?"
+            answer = prize
+            doc1 = [f"{a} was a {rng.choice(self.PROFESSION)} of some renown.",
+                    f"{a} trained under {b} for many years."]
+            doc2 = [f"{b} received the {prize} in {rng.randrange(1900, 1980)}.",
+                    f"{b} taught a generation of students."]
+            sf = [[a, 1], [b, 0]]
+        elif family == "employer":
+            company = rng.choice(self.COMPANY)
+            question = f"Which company employed the sibling of {a}?"
+            answer = company
+            doc1 = [f"{a} grew up alongside a sibling, {b}.",
+                    f"{a} later settled in {city}."]
+            doc2 = [f"{b} worked for {company} for over a decade.",
+                    f"{b} retired to the countryside."]
+            sf = [[a, 0], [b, 0]]
+        else:  # river: the bridge entity is a TOWN document, not a person
+            river = rng.choice(self.RIVER)
+            # unique town name per sample: a shared CITY title across
+            # samples would (title, sid)-collide with a different river
+            self._name_counter += 1
+            town = f"Port {self._synth_surname(self._name_counter)}"
+            question = f"On which river does the hometown of {a} stand?"
+            answer = river
+            doc1 = [f"{a} was raised in the town of {town}.",
+                    f"{a} wrote fondly about those early years."]
+            doc2 = [f"{town} stands on the river {river}.",
+                    f"{town} grew around a crossing point."]
+            sf = [[a, 0], [town, 0]]
+
+        bridge_title = sf[1][0]
+        context = [[a, doc1], [bridge_title, doc2]]
+        for dnum in range(self.n_distractors):
+            drng = random.Random(f"{self.seed}:{i}:hd{dnum}")
+            p = self._person(drng)
+            if dnum == 0:
+                # twin distractor: question person's first name, other surname
+                p = f"{a.split()[0]} {p.split(' ', 1)[1]}"
+            sents = [f"{p} was a {drng.choice(self.PROFESSION)}."]
+            if family == "award":
+                sents.append(f"{p} received the {drng.choice(self.PRIZE)} "
+                             f"in {drng.randrange(1900, 1980)}.")
+            elif family == "employer":
+                sents.append(f"{p} worked for {drng.choice(self.COMPANY)} "
+                             "briefly.")
+            else:
+                c2 = drng.choice(self.CITY)
+                sents.append(f"{p} settled near {c2} on the river "
+                             f"{drng.choice(self.RIVER)}.")
+            context.append([p, sents])
+        rng.shuffle(context)
+
+        sample_id = hashlib.sha1(f"{self.seed}:{i}:h".encode()).hexdigest()[:24]
+        return {
+            "_id": sample_id,
+            "question": question,
+            "answer": answer,
+            "type": "bridge",
+            "level": "medium",
+            "context": context,
+            "supporting_facts": sf,
+        }
+
     def load(self) -> List[Dict[str, Any]]:
-        make = self._make_sample_variety if self.variety else self._make_sample
+        if self.cfg.get("heldout"):
+            make = self._make_sample_heldout
+        elif self.variety:
+            make = self._make_sample_variety
+        else:
+            make = self._make_sample
         return [make(i) for i in range(self.index, self.index + self.n)]
 
 

@@ -182,24 +182,45 @@ class MockProvider:
                 s2 = sum(3 for e in bridge if e and e in t2)
                 if s2 <= 0:
                     continue
+                # answer-slot preference: a hop-2 sentence holding a
+                # capitalized run beyond the bridge/question entities
+                # contains a candidate answer ("worked for Gildencorp
+                # Works"); continuations without one ("retired to the
+                # countryside") tie on every other signal when the
+                # question predicate is a pure paraphrase
+                known2 = q_ents + bridge
+                has_slot = any(
+                    not any(r in e or e in r for e in known2)
+                    for r in capitalized_runs(t2))
                 s = (s2 + stem_overlap(predicate_words, t2)
-                     + 0.5 * stem_overlap(predicate_words, t1))
+                     + 0.5 * stem_overlap(predicate_words, t1)
+                     + (0.5 if has_slot else 0.0))
                 if best_pair is None or s > best_pair[0]:
                     best_pair = (s, k2, t2, k1)
 
         if best_pair is not None:
             _, k2, t2, k1 = best_pair
-            return f"{self._extract_span(q, t2)} [#{k2}] [#{k1}]"
+            exclude = q_ents + capitalized_runs(
+                next(t for kk, t in cites if kk == k1))
+            return f"{self._extract_span(q, t2, exclude)} [#{k2}] [#{k1}]"
 
         k1, t1 = max(h1s, key=lambda kt: (ent_score(kt[1], q_ents),
                                           len(q_words & set(_tokenize(kt[1])))))
-        return f"{self._extract_span(q, t1)} [#{k1}]"
+        return f"{self._extract_span(q, t1, q_ents)} [#{k1}]"
 
     @staticmethod
-    def _extract_span(question: str, sentence: str) -> str:
-        """Answer-span extraction: for where/which-place questions return
-        the location phrase instead of the whole evidence sentence (EM/F1
-        against short gold answers is meaningless otherwise)."""
+    def _extract_span(question: str, sentence: str, exclude=()) -> str:
+        """Answer-span extraction, family-agnostic.
+
+        Where/which-place questions keep the targeted born-in pattern (it
+        handles \"Stone Town, Zanzibar\" style appositions). Everything
+        else falls back to one generic extractive rule — the LAST
+        capitalized run of the evidence sentence that is not a question or
+        hop-1 entity — the stand-in for a competent extractive answerer,
+        deliberately NOT specialized per template family (the held-out
+        families certify the evidence SELECTION, so the answerer must not
+        be tuned to them). Whole sentence if nothing qualifies.
+        """
         ql = question.lower()
         if any(w in ql for w in ("where", "which city", "what city",
                                  "which town", "what place")):
@@ -208,6 +229,13 @@ class MockProvider:
                 r"((?:[A-Z][\w']*)(?: [A-Z][\w']*)*)", sentence)
             if m:
                 return m.group(1)
+        candidates = [
+            r for r in capitalized_runs(sentence)
+            if r not in _QW
+            and not any(r in e or e in r for e in exclude if e)
+        ]
+        if candidates:
+            return candidates[-1]
         return sentence
 
     def _factcheck(self, prompt: str) -> str:

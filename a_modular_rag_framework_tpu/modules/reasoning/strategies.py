@@ -232,7 +232,13 @@ def select_evidence_for_steps(
     has_text = text_lens > 0
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
 
+    # capitalized runs per text, pre-stemmed once: used for the answer-slot
+    # bonus (below) and the carry update
+    text_runs = [[(r, set(_stems(tokenize(r)))) for r in capitalized_runs(t)]
+                 for t in texts]
+
     carry: set = set()  # bridge-entity tokens discovered in earlier steps
+    carry_sources: Dict[str, set] = {}  # carry token -> hit idxs that added it
     carry_phrases: set = set()  # full bridge-entity strings (lowercased)
     q_phrases = {p.lower() for p in (entity_phrases or []) if " " in p}
     texts_lower = [t.lower() for t in texts]
@@ -270,12 +276,34 @@ def select_evidence_for_steps(
             dtype=np.float32,
         )
         penalized = pen_counts > 0
+        # a carried token vouches for a candidate only if someone ELSE
+        # contributed it: tokens a sentence itself introduced must not
+        # boost that same sentence in later steps (self-carry — the
+        # "Kestrel Point" tokens carried from doc-1 filler re-selected the
+        # filler forever on zero-predicate-overlap hops)
+        def _carry_overlap(i: int, tt: set) -> int:
+            return sum(1 for tok in carry & tt
+                       if carry_sources.get(tok, set()) != {i})
+
+        # answer-slot bonus: evidence holding a capitalized run that is
+        # NOT a question/carried entity contains a candidate answer span
+        # ("... worked for Gildencorp Works") — the only lexical signal
+        # left when the step's predicate is a pure paraphrase of the
+        # evidence ("employed" vs "worked for"). Equivalent to one token
+        # of overlap; answer-free continuations ("retired to the
+        # countryside") don't get it.
+        known = ent_anchor | carry
+        slot_bonus = np.array(
+            [1.0 if any(not (rs_ & known) for _, rs_ in text_runs[i])
+             else 0.0 for i in range(n)],
+            dtype=np.float32,
+        )
         inter = np.array(
             [len(s_tokens & tt) + len(pred_tokens & tt)
-             + 2 * len(carry & tt)
-             for tt in text_tokens],
+             + 2 * _carry_overlap(i, tt)
+             for i, tt in enumerate(text_tokens)],
             dtype=np.float32,
-        ) - 2.0 * pen_counts
+        ) + slot_bonus - 2.0 * pen_counts
         lex = np.where(has_text, inter / log_lens, 0.0)
         score = np.where(has_channels, 0.6 * lex + 0.4 * fused_chan, lex)
         # the anchor set grows with the carry: hop-2 evidence ("B was born
@@ -316,13 +344,15 @@ def select_evidence_for_steps(
                 # its own phrase would enter the carry and erase its
                 # penalty (self-legitimization), poisoning later steps
                 continue
-            for ent in capitalized_runs(texts[i]):
+            for ent, ent_stems_i in text_runs[i]:
                 # keep only the NOVEL tokens of each entity: a bridge
                 # person sharing the question entity's first name ("Brisa
                 # Venanan collaborated with Brisa Wynanan") must still
                 # contribute the surname
-                novel = set(_stems(tokenize(ent))) - s_tokens - _ANCHOR_STOP
+                novel = ent_stems_i - s_tokens - _ANCHOR_STOP
                 carry.update(novel)
+                for tok in novel:
+                    carry_sources.setdefault(tok, set()).add(i)
                 # carry full phrases only for MULTI-WORD entities (person
                 # names) novel to the question: single capitalized words
                 # ("Critics", a city) are too noisy for the phrase bonus.

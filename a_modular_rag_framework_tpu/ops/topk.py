@@ -85,15 +85,26 @@ def _iterative_topk(scores: jax.Array, ids: jax.Array, k: int) -> Tuple[jax.Arra
     return out_s, out_i
 
 
-def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile_n: int, n_valid: int, precision=None):
+def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, sm_ref, *,
+                 k: int, kp: int, tile_n: int, n_valid: int,
+                 precision=None, compute_dtype=None):
     """One (batch tile, corpus tile) step: scores = q_tile @ d_tile^T,
-    merged into the running top-k scratch.
+    merged into a SORTED running top-k via threshold-gated insertion.
 
     Grid is (batch tiles, corpus tiles); the corpus dimension is the fast
     axis and executes sequentially on a TPU core, so scratch accumulates
     across corpus tiles and flushes on the last one, then resets when the
-    batch tile advances. Batch tiling keeps the concat+iterative-top-k
-    working set ([tile_b, k + tile_n]) inside scoped VMEM at any B.
+    batch tile advances.
+
+    The merge is the part that made round-2's kernel lose to stock XLA
+    (a k-step max-extraction over [B, k+tile_n] on EVERY tile =
+    O(k*tile_n) VPU work per tile, dwarfing the matmul). Here the running
+    top-k stays sorted descending, the k-th column is a per-row threshold,
+    and a while_loop inserts ONE improving candidate per row per
+    iteration — rows advance in parallel, and the loop exits the moment no
+    row in the block improves. Expected iterations across the whole corpus
+    ~ k·ln(n_tiles) (top-k turnover of a random stream), vs k·n_tiles
+    before; tiles that beat nothing cost one compare pass.
     """
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -103,8 +114,12 @@ def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, ti
         run_s[:] = jnp.full_like(run_s, NEG_INF)
         run_i[:] = jnp.full_like(run_i, -1)
 
-    q = q_ref[:].astype(jnp.float32)
-    d = d_ref[:].astype(jnp.float32)
+    if compute_dtype is not None:
+        q = q_ref[:].astype(compute_dtype)
+        d = d_ref[:].astype(compute_dtype)
+    else:
+        q = q_ref[:].astype(jnp.float32)
+        d = d_ref[:].astype(jnp.float32)
     scores = jax.lax.dot_general(
         q, d, dimension_numbers=(((1,), (1,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32,
@@ -115,11 +130,57 @@ def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, ti
     # candidates with negative inner products: kill them here, not post-hoc
     scores = jnp.where(tile_ids < n_valid, scores, NEG_INF)
 
-    cat_s = jnp.concatenate([run_s[:], scores], axis=1)
-    cat_i = jnp.concatenate([run_i[:], tile_ids], axis=1)
-    new_s, new_i = _iterative_topk(cat_s, cat_i, k)
-    run_s[:] = new_s
-    run_i[:] = new_i
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, tile_n), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, kp), 1)
+
+    # Candidate pool lives in VMEM scratch (picked/dead entries drop to
+    # NEG_INF); the while carry is ONE scalar — Mosaic cannot legalize
+    # large vector (esp. i1-mask) carries through scf.while, and refs keep
+    # the state resident anyway. Each while ROUND extracts up to E
+    # candidates per row through a statically-unrolled ladder (the
+    # per-round scalar sync was the measured cost when one candidate moved
+    # per iteration: ~8k synced iterations -> 52ms; E=8 cuts rounds ~8x
+    # and lets Mosaic pipeline the ladder).
+    E = 8
+    sm_ref[:] = jnp.where(scores > run_s[:, k - 1][:, None], scores, NEG_INF)
+
+    def insert_once(_unused):
+        s_m = sm_ref[:]
+        rs = run_s[:]
+        cur = jnp.max(s_m, axis=1)                      # [B]
+        arg = jnp.argmax(s_m, axis=1).astype(jnp.int32)  # first max -> id order
+        picked = col == arg[:, None]
+        cand_id = jnp.min(jnp.where(picked, tile_ids, jnp.int32(0x7FFFFFFF)),
+                          axis=1)
+        has = cur > rs[:, k - 1]                        # rows that improve
+        # sorted insertion AFTER existing equals (>=): candidates arrive in
+        # ascending id order (first-max argmax within a tile, tiles in id
+        # order), so equal values keep ascending ids — lax.top_k's tie
+        # order. Slots < pos keep, slot == pos takes the candidate, slots
+        # > pos shift right by one.
+        pos = jnp.sum((rs >= cur[:, None]).astype(jnp.int32), axis=1)
+        ins = (slot == pos[:, None]) & has[:, None]
+        keep = (slot < pos[:, None]) | (~has[:, None])
+        new_s = jnp.where(keep, rs, jnp.where(ins, cur[:, None],
+                                              jnp.roll(rs, 1, axis=1)))
+        new_i = jnp.where(keep, run_i[:],
+                          jnp.where(ins, cand_id[:, None],
+                                    jnp.roll(run_i[:], 1, axis=1)))
+        run_s[:] = new_s
+        run_i[:] = new_i
+        # drop the picked column; entries at or below the (risen) k-th
+        # threshold can never insert again
+        sm_ref[:] = jnp.where(picked | ~(s_m > new_s[:, k - 1][:, None]),
+                              NEG_INF, s_m)
+
+    def round_body(_):
+        for _step in range(E):
+            insert_once(None)
+        return jnp.any(sm_ref[:] > NEG_INF)
+
+    jax.lax.while_loop(
+        lambda go: go, round_body,
+        jnp.any(sm_ref[:] > NEG_INF))
 
     @pl.when(t == nt - 1)
     def _flush():
@@ -127,10 +188,11 @@ def _topk_kernel(q_ref, d_ref, out_s_ref, out_i_ref, run_s, run_i, *, k: int, ti
         out_i_ref[:] = run_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_b", "precision"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_b",
+                                             "precision", "compute_dtype"))
 def dense_topk_pallas(
     q: jax.Array, d: jax.Array, k: int, tile_n: int = 1024,
-    tile_b: int = 256, precision=None
+    tile_b: int = 256, precision=None, compute_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused matmul+top-k without materializing [B, N] scores in HBM.
 
@@ -138,12 +200,18 @@ def dense_topk_pallas(
     the kernel (by global row id), so they can never beat real candidates —
     including real candidates with negative inner products. Batch is tiled
     too (``tile_b``) so the in-kernel merge buffer stays inside VMEM for
-    arbitrarily large B.
+    arbitrarily large B. The running top-k is padded to a lane-aligned
+    width (kp, multiple of 128) and sliced back to k at the end.
+
+    ``compute_dtype="bfloat16"`` casts both operands for the MXU's fast
+    path (accumulation stays f32) — the production setting for the probe;
+    leave None for f32-exact oracle comparisons.
     """
     B, dim = q.shape
     N = d.shape[0]
     if k > N:
         raise ValueError(f"k={k} > corpus size {N}")
+    kp = -(-k // 128) * 128  # lane-aligned running-top-k width
     n_pad = (-N) % tile_n
     if n_pad:
         d = jnp.concatenate([d, jnp.zeros((n_pad, dim), dtype=d.dtype)], axis=0)
@@ -155,8 +223,8 @@ def dense_topk_pallas(
     b_tiles = q.shape[0] // tile_b
 
     out_s, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, k=k, tile_n=tile_n, n_valid=N,
-                          precision=precision),
+        functools.partial(_topk_kernel, k=k, kp=kp, tile_n=tile_n, n_valid=N,
+                          precision=precision, compute_dtype=compute_dtype),
         grid=(b_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_b, dim), lambda b, t: (b, 0),
@@ -165,23 +233,23 @@ def dense_topk_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, k), lambda b, t: (b, 0),
+            pl.BlockSpec((tile_b, kp), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, k), lambda b, t: (b, 0),
+            pl.BlockSpec((tile_b, kp), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
-            jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
+            jax.ShapeDtypeStruct((q.shape[0], kp), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], kp), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, k), jnp.float32),
-            pltpu.VMEM((tile_b, k), jnp.int32),
+            pltpu.VMEM((tile_b, kp), jnp.float32),
+            pltpu.VMEM((tile_b, kp), jnp.int32),
+            pltpu.VMEM((tile_b, tile_n), jnp.float32),  # live candidate pool
         ],
     )(q, d)
-    if b_pad:
-        out_s = out_s[:B]
-        out_i = out_i[:B]
+    out_s = out_s[:B, :k]
+    out_i = out_i[:B, :k]
 
     # belt-and-braces: padded rows already scored NEG_INF in-kernel
     valid = out_i < N

@@ -115,6 +115,26 @@ def measure_throughput(engine, questions):
     return B / pipe_sec, B / min(seq), min(device_ms)
 
 
+def iterative_recall(engine, samples, batch) -> float:
+    """recall@10 of the iterative bridge-entity 2-hop mode (the quality
+    mode) over the first 128 labeled samples, run at the full bucket."""
+    from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
+    from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+    )
+
+    eval_qs = [s["question"] for s in samples[:128]]
+    qs = (eval_qs * ((batch // len(eval_qs)) + 1))[:batch]
+    out = iterative_retrieve(engine, qs, top_k=TOP_K)
+    ids = np.asarray(out[0])
+    recalls = []
+    for row, s in enumerate(samples[:128]):
+        got = [engine.index.corpus.hit_id(int(i)) for i in ids[row] if i >= 0]
+        recalls.append(recall_at_k(got, gold_hit_ids(s), TOP_K))
+    return float(np.mean(recalls))
+
+
 def index_device_bytes(engine) -> int:
     total = np.asarray(engine._emb).nbytes if engine._n else 0
     total += np.asarray(engine._nbrs).nbytes
@@ -403,6 +423,8 @@ def main() -> None:
             "pipelined_qps": round(pipe1, 1),
             "sequential_qps": round(seq1, 1),
             "recall_at_10": round(quality1[f"recall_at_{TOP_K}"], 4),
+            "recall_at_10_iterative_2hop": round(
+                iterative_recall(engine1, samples1, BATCH), 4),
             "index_build_sec": round(t_build1, 1) if t_build1 else None,
             "index_device_bytes": index_device_bytes(engine1),
         }
@@ -441,6 +463,8 @@ def main() -> None:
                 "pipelined_qps": round(pipel, 1),
                 "sequential_qps": round(seql, 1),
                 "recall_at_10": round(qualityl[f"recall_at_{TOP_K}"], 4),
+                "recall_at_10_iterative_2hop": round(
+                    iterative_recall(enginel, samplesl, BATCH), 4),
                 "index_build_sec": (idxl.manifest.get("build_stats")
                                     or {}).get("total_sec"),
                 "index_device_bytes": index_device_bytes(enginel),

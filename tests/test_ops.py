@@ -440,3 +440,55 @@ def test_compact_expansion_small_cap_keeps_strongest(rng):
     assert got[3] == pytest.approx(0.4)
     assert got[1] == pytest.approx(0.7) and got[2] == pytest.approx(0.7)
     assert 4 not in got  # node 3 was truncated from the propagating wave
+
+
+def test_dense_topk_pallas_adversarial_ascending(rng):
+    """Ascending-score corpus: every tile improves every row (max insertion
+    pressure on the threshold-gated merge loop)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = np.ones((4, 8), np.float32)
+    d = np.linspace(0, 1, 512, dtype=np.float32)[:, None] * np.ones((512, 8), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s_p, i_p = dense_topk_pallas(jnp.asarray(q), jnp.asarray(d), 10,
+                                     tile_n=128,
+                                     precision=jax.lax.Precision.HIGHEST)
+    s_x, i_x = dense_topk_xla(jnp.asarray(q), jnp.asarray(d), 10,
+                              precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_dense_topk_pallas_tie_order_matches_lax_topk(rng):
+    """Duplicated corpus rows: tied scores must keep ascending ids, the
+    lax.top_k tie order (insertion goes AFTER existing equals)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = np.repeat(rng.standard_normal((50, 8)).astype(np.float32), 4, axis=0)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s_p, i_p = dense_topk_pallas(jnp.asarray(q), jnp.asarray(d), 12,
+                                     tile_n=64,
+                                     precision=jax.lax.Precision.HIGHEST)
+    s_x, i_x = dense_topk_xla(jnp.asarray(q), jnp.asarray(d), 12,
+                              precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_dense_topk_pallas_shape_fuzz(rng):
+    """Shapes that stress padding: k above 128 lanes (kp=256), k == N,
+    batch tiling with remainder, odd corpus sizes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    for B, N, k, tn in ((8, 700, 33, 128), (16, 256, 5, 64),
+                        (2, 2000, 200, 512), (5, 130, 130, 64)):
+        q = rng.standard_normal((B, 24)).astype(np.float32)
+        d = rng.standard_normal((N, 24)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            s_p, i_p = dense_topk_pallas(jnp.asarray(q), jnp.asarray(d), k,
+                                         tile_n=tn, tile_b=8,
+                                         precision=jax.lax.Precision.HIGHEST)
+        s_x, i_x = dense_topk_xla(jnp.asarray(q), jnp.asarray(d), k,
+                                  precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                                   rtol=1e-4, atol=1e-5)

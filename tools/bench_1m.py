@@ -44,6 +44,8 @@ def main():
     args = ap.parse_args()
     CACHE = Path(args.cache)
 
+    from a_modular_rag_framework_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
     from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
     from a_modular_rag_framework_tpu.eval.harness import evaluate_retrieval

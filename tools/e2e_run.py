@@ -47,7 +47,8 @@ def build_corpus_settings(samples, work: Path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", default="plain", choices=["plain", "variety"])
+    ap.add_argument("--corpus", default="plain",
+                    choices=["plain", "variety", "heldout"])
     ap.add_argument("--samples", type=int, default=300)
     ap.add_argument("--questions", type=int, default=100)
     ap.add_argument("--seed", type=int, default=17)
@@ -69,6 +70,7 @@ def main():
         "type": "synthetic_hotpotqa", "count": args.samples,
         "seed": args.seed, "unique_entities": True,
         "variety": args.corpus == "variety",
+        "heldout": args.corpus == "heldout",
     }
     samples = SyntheticHotpotQALoader(ds_cfg).load()
     work = Path(tempfile.mkdtemp(prefix="e2e_run_"))
