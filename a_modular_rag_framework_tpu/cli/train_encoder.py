@@ -69,6 +69,10 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variety", action="store_true",
                     help="train on the harder variety-template corpus")
+    ap.add_argument("--subword_ngrams", type=int, default=1,
+                    help="features per word (1 = whole-word hash only; "
+                         ">1 adds char n-grams so unseen names share "
+                         "trained buckets)")
     ap.add_argument("--eval_samples", type=int, default=0,
                     help="held-out samples for a hash-vs-trained recall "
                          "comparison after training")
@@ -103,7 +107,8 @@ def main(argv=None) -> None:
     queries, passages = build_pairs(samples)
     print(f"training pairs: {len(queries)}")
 
-    cfg = EncoderConfig(d_model=args.d_model, n_layers=args.n_layers)
+    cfg = EncoderConfig(d_model=args.d_model, n_layers=args.n_layers,
+                    subword_ngrams=args.subword_ngrams)
     params = init_params(jax.random.PRNGKey(args.seed), cfg)
     init_state, train_step = make_train_step(cfg, learning_rate=args.lr)
     opt_state = init_state(params)

@@ -167,6 +167,23 @@ class MockProvider:
         if not h1s:
             h1s = [max(cites, key=lambda kt: len(q_words & set(_tokenize(kt[1]))))]
 
+        # single-hop short-circuit: a citation naming the question entity
+        # AND covering EVERY predicate stem ("Alice Smith was born in
+        # Paris." for "Where was Alice Smith born?") answers directly — a
+        # bridge chain from it ("worked with Bob" -> "Bob lived in Rome")
+        # would be spurious. True multi-hop questions leave predicates
+        # uncovered at hop 1 ("collaborated with B" lacks born/city), so
+        # they fall through to the pair search.
+        if predicate_words:
+            def covers_all(text):
+                toks = _tokenize(text)
+                return all(
+                    any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
+                    for w in predicate_words if len(w) >= 4)
+            for k1, t1 in h1s:
+                if covers_all(t1) and ent_score(t1, q_ents) >= 3:
+                    return f"{self._extract_span(q, t1, q_ents)} [#{k1}]"
+
         best_pair = None  # (score, k2, t2, k1)
         for k1, t1 in h1s:
             bridge = [e for e in capitalized_runs(t1)

@@ -43,7 +43,7 @@ import numpy as np
 
 from ..core.dto import HitBatch
 from ..index.packed import PackedIndex
-from ..models.hash_embed import HashEmbedEncoder, tokenize
+from ..models.hash_embed import phrase_augment, HashEmbedEncoder, tokenize
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels, fuse_pools_compact
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
@@ -221,24 +221,34 @@ def prune_query(q: str, high_df_terms: Optional[set]) -> str:
     device execution in pipelined serving."""
     if not high_df_terms or not q:
         return q
-    kept = [t for t in tokenize(q) if t not in high_df_terms]
+    # phrase-augment BEFORE pruning: the re-join lowercases, which would
+    # hide the capitalized runs from encode_query_term_ids' augmentation;
+    # the phrase pseudo-tokens themselves are low-df and survive the prune
+    kept = [t for t in tokenize(phrase_augment(q)) if t not in high_df_terms]
     return " ".join(kept) if kept else q
 
 
 def encode_query_term_ids(variants: Sequence[Sequence[str]], E: int, T: int,
                           vocab: Dict[str, int], native_vocab=None) -> np.ndarray:
-    """[B, E, T] int32 BM25 term ids (-1 padded); native lookup if available."""
+    """[B, E, T] int32 BM25 term ids (-1 padded); native lookup if available.
+
+    Queries get phrase-token augmentation (hash_embed.phrase_augment):
+    full capitalized runs become near-unique BM25 terms on phrase-indexed
+    corpora; on older indexes the tokens miss the vocab and drop out.
+    """
     B = len(variants)
     if native_vocab is not None:
         flat: List[str] = []
         for vs in variants:
             vs = list(vs)[:E]
-            flat.extend(vs + [""] * (E - len(vs)))
+            flat.extend([phrase_augment(v) if v else "" for v in vs]
+                        + [""] * (E - len(vs)))
         return native_vocab.lookup_batch(flat, T).reshape(B, E, T)
     term_ids = np.full((B, E, T), -1, dtype=np.int32)
     for b, vs in enumerate(variants):
         for e, q in enumerate(list(vs)[:E]):
-            tids = [vocab[t] for t in tokenize(q) if t in vocab][:T]
+            tids = [vocab[t] for t in tokenize(phrase_augment(q))
+                    if t in vocab][:T]
             term_ids[b, e, : len(tids)] = tids
     return term_ids
 

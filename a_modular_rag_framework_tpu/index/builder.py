@@ -22,7 +22,7 @@ from typing import Any, Dict, Iterable, List, Optional
 
 import numpy as np
 
-from ..models.hash_embed import HashEmbedEncoder
+from ..models.hash_embed import HashEmbedEncoder, phrase_augment
 from ..utils.entity_linker import simple_ner
 from .corpus import SentenceCorpus
 from .packed import PackedIndex
@@ -100,6 +100,7 @@ def build_packed_index(
     embed_batch: int = 1024,
     bm25_k1: float = 1.5,
     bm25_b: float = 0.75,
+    bm25_phrase_tokens: bool = True,
     graph_max_degree: int = 32,
     out_dir: Optional[str] = None,
     progress: Optional[Any] = None,
@@ -141,7 +142,9 @@ def build_packed_index(
 
     # --- sparse structures (host pass) ---
     t1 = time.time()
-    bm25 = Bm25DeviceIndex.build(texts, k1=bm25_k1, b=bm25_b)
+    bm25_texts = ([phrase_augment(t) for t in texts]
+                  if bm25_phrase_tokens else texts)
+    bm25 = Bm25DeviceIndex.build(bm25_texts, k1=bm25_k1, b=bm25_b)
     t_bm25 = time.time() - t1
     t2 = time.time()
     graph_tables = build_sentence_graph(corpus, max_degree=graph_max_degree)

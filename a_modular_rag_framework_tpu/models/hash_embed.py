@@ -31,6 +31,28 @@ def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
 
 
+def phrase_augment(text: str) -> str:
+    """Append joined capitalized-run phrase tokens to ``text``.
+
+    "Ananan Belanan was born..." gains the pseudo-word "ananan00belanan"
+    ("00" joiner survives the alnum tokenizer as one token). On a
+    colliding-name corpus the individual name tokens are shared by
+    hundreds of people, but the full-name phrase token is near-unique, so
+    BM25's idf concentrates exactly on the entity the query names —
+    classic phrase indexing, done at the text level so the Python and
+    native C++ tokenizers both see it. Queries are always augmented
+    (engine.encode_query_term_ids); unknown phrase tokens simply miss the
+    vocab, so indexes built without augmentation are unaffected.
+    """
+    from ..utils.textspan import capitalized_runs
+
+    runs = [r for r in capitalized_runs(text or "") if " " in r]
+    if not runs:
+        return text
+    extra = ["00".join(tokenize(r)) for r in runs]
+    return f"{text} {' '.join(extra)}"
+
+
 def _features(text: str) -> List[str]:
     toks = tokenize(text)
     feats = list(toks)

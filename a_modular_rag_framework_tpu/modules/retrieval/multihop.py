@@ -322,8 +322,13 @@ def _merge_hop2(
     act = np.asarray(active, dtype=bool)[:, None]
     v1 = ids1 >= 0
     v2 = act & (ids2 >= 0)
-    # hop-2-only flag: the id appears in no hop-1 slot of its row
-    in_h1 = (ids2[:, :, None] == np.where(v1, ids1, -9)[:, None, :]).any(2)
+    # hop-2-only flag: the id appears in none of hop-1's TOP-K slots of
+    # its row. Membership deeper in the hop-1 window (rows are inspected
+    # to hop1_inspect > top_k) must NOT disqualify an id from the
+    # reserve: such an id was about to be displaced by hop-1's distractor
+    # tail anyway, which is exactly what the reserve exists to prevent.
+    h1_top = np.where(v1, ids1, -9)[:, None, :top_k]
+    in_h1 = (ids2[:, :, None] == h1_top).any(2)
 
     cat_ids = np.concatenate(
         [np.where(v1, ids1, BIG), np.where(v2, ids2, BIG)], axis=1)
@@ -331,8 +336,14 @@ def _merge_hop2(
         [np.where(v1, scores1, -np.inf), np.where(v2, scores2, -np.inf)],
         axis=1)
     cat_n = np.concatenate([norms1, norms2], axis=2)  # [3, B, K1+K2]
+    # the hop-2-only CLASS of an id = (appears in hop-2) & (absent from
+    # hop-1's top_k). The dedup below keeps one element per id, and its
+    # flag must carry the id's class regardless of which copy wins — so a
+    # deep-hop-1 copy of a hop-2 id gets the flag too.
+    in_h2 = (ids1[:, :, None] == np.where(v2, ids2, -9)[:, None, :]).any(2)
+    in_h1top_self = (ids1[:, :, None] == h1_top).any(2)
     cat_flag = np.concatenate(
-        [np.zeros((B, K1), bool), v2 & ~in_h1], axis=1)
+        [v1 & act & in_h2 & ~in_h1top_self, v2 & ~in_h1], axis=1)
     src = np.concatenate(
         [np.zeros((B, K1), np.int8), np.ones((B, K2), np.int8)], axis=1)
 
@@ -431,7 +442,8 @@ def _merge_hop2_py(
         for j, (i, s) in enumerate(zip(ids1[b].tolist(), scores1[b].tolist())):
             if i >= 0 and (i not in merged or s > merged[i][0]):
                 merged[i] = (float(s), norms1[:, b, j])
-                h1_ids.add(i)
+                if j < top_k:
+                    h1_ids.add(i)  # reserve keys on hop-1's top_k only
         hop2_only: List[int] = []
         if active[b]:
             for j, (i, s) in enumerate(zip(ids2[b].tolist(), scores2[b].tolist())):

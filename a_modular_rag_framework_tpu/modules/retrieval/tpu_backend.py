@@ -99,6 +99,7 @@ class TPUHybridRetrievalBackend:
         hop_decay: float = 0.5,
         encoder_weights: str = "",
         encoder_layers: int = 2,
+        encoder_subword_ngrams: int = 8,
         mesh_axes: Optional[Dict[str, int]] = None,
         shard_axis: str = "data",
         query_df_ratio_max: float = 0.0,
@@ -122,13 +123,16 @@ class TPUHybridRetrievalBackend:
         self._ephemeral_cache: Dict[str, TPUQueryEngine] = {}
 
         if encoder is None and encoder_weights:
-            # learned TextEncoder (trained by cli/train_encoder). Held-out on
-            # the synthetic benchmark: recall@10 0.500 vs 0.465 hash, MRR
-            # 0.551 vs 0.284 — the contrastively-trained encoder learns the
-            # bridge associations hashing can't.
+            # learned TextEncoder (trained by cli/train_encoder), with
+            # fastText-style char-ngram subword features (round 3): unseen
+            # surnames share most buckets with trained syllable-mates, so
+            # the encoder transfers across entity vocabularies — disjoint-
+            # seed held-out recall@10 0.387 vs 0.137 hash (MRR 3.6x); the
+            # round-2 whole-word-hash encoder scored 0.02 e2e EM there.
             from ...models.encoder import EncoderConfig, TextEncoder
 
-            cfg_enc = EncoderConfig(d_model=embed_dim, n_layers=encoder_layers)
+            cfg_enc = EncoderConfig(d_model=embed_dim, n_layers=encoder_layers,
+                                    subword_ngrams=encoder_subword_ngrams)
             encoder = TextEncoder.load(encoder_weights, cfg_enc)
 
         # coupled knobs: the narrow phase-1 postings window is only safe

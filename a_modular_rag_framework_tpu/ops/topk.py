@@ -10,10 +10,14 @@ Two interchangeable implementations (oracle-tested against each other):
 - `dense_topk_xla`: jnp.dot + jax.lax.top_k. XLA materializes the [B, N]
   score matrix in HBM — fine for small corpora and the parity oracle.
 - `dense_topk_pallas`: tiles the corpus over a sequential Pallas grid and
-  keeps a running top-k in VMEM scratch, so the full score matrix never
-  round-trips to HBM. The matmul rides the MXU per tile; the running top-k
-  is a K-step iterative max-extract on the VPU. HBM traffic drops from
-  O(B*N) to O(N*d + B*K).
+  keeps a SORTED running top-k in VMEM scratch, so the full score matrix
+  never round-trips to HBM. The matmul rides the MXU per tile; the merge
+  is threshold-gated insertion (only candidates beating the current k-th
+  value enter; expected insertions across the corpus ~ k*ln(n_tiles),
+  not k*n_tiles). HBM traffic drops from O(B*N) to O(N*d + B*K). The
+  fastest EXACT dense path measured (52ms vs exact-XLA's 77ms at
+  B=1024/N=131k/d=512/k=100); `dense_topk_approx` remains faster still
+  (38ms) at 0.979 overlap and stays the production default.
 
 Corpus rows may be bf16 (index storage dtype); accumulation is f32 via
 ``preferred_element_type``.
@@ -262,12 +266,15 @@ def dense_topk_pallas(
 def dense_topk_approx(
     q: jax.Array, d: jax.Array, k: int, recall_target: float = 0.95
 ) -> Tuple[jax.Array, jax.Array]:
-    """Matmul + hardware approx_max_k: the fast brute-force dense path.
+    """Matmul + hardware approx_max_k: the PRODUCTION dense path.
 
-    At B=1024, N=131k, d=512 on one v5e: 42.7ms vs 77.2ms exact-XLA and
-    123.8ms Pallas (which is selection-bound at k=100 — its per-tile
-    iterative top-k costs k*(k+tile_n) VPU ops and dwarfs the matmul).
-    Measured overlap with the exact top-100: 0.979.
+    Measured at B=1024, N=131k, d=512, k=100 on one v5e (round 3):
+    38-43ms here vs 77ms exact-XLA and 52ms for the Pallas kernel.
+    The Pallas kernel is the fastest EXACT path (1.5x exact-XLA; its
+    round-2 k-step-extraction predecessor ran 124ms), but this
+    approximate path (overlap 0.979 with the exact top-100) still holds
+    the throughput crown, so it remains the engine default and the
+    Pallas kernel serves where exactness is required.
     """
     scores = jax.lax.dot_general(
         q, d, dimension_numbers=(((1,), (1,)), ((), ())),

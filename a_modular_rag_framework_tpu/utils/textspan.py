@@ -45,20 +45,26 @@ def capitalized_runs(text: str, *, min_words: int = 1,
     run_start = run_end = -1   # char span of current run (ends on cap word)
     caps_in_run = 0
     pending_particle_ok = False
+    prev_initial = False       # previous token was a middle initial ("D")
     prev_end = -1
 
     def flush() -> None:
         nonlocal run_start, run_end, caps_in_run, pending_particle_ok
+        nonlocal prev_initial
         if caps_in_run >= min_words and run_start >= 0:
             runs.append(text[run_start:run_end])
         run_start = run_end = -1
         caps_in_run = 0
         pending_particle_ok = False
+        prev_initial = False
 
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0)
         gap = text[prev_end:m.start()] if prev_end >= 0 else ""
-        adjacent = run_start >= 0 and gap == " "
+        # a middle initial's period makes the gap ". " — still adjacent
+        adjacent = run_start >= 0 and (
+            gap == " " or (prev_initial and gap == ". "))
+        is_initial = len(tok) == 1 and tok.isupper()
         if _is_cap_word(tok):
             if not adjacent:
                 flush()
@@ -67,9 +73,14 @@ def capitalized_runs(text: str, *, min_words: int = 1,
             run_end = m.end()
             caps_in_run += 1
             pending_particle_ok = particles
+            prev_initial = False
+        elif adjacent and is_initial:
+            # "John D. Rockefeller": the initial rides along; the run only
+            # extends (through run_end) if a cap word follows
+            prev_initial = True
         elif adjacent and pending_particle_ok and tok.lower() in _PARTICLES:
             # particle rides along; run only extends if a cap word follows
-            pass
+            prev_initial = False
         else:
             flush()
         prev_end = m.end()

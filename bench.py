@@ -178,31 +178,47 @@ def graph_bytes_account(engine, batch, device_ms) -> dict:
 def dense_probe() -> dict:
     """Compute-shaped dense retrieval probe (B=1024, N=131k, d=512 bf16):
     the d=64 production path is bandwidth-bound, so this is where the
-    matmul path's real rate shows. Uses the approx_max_k variant (the
-    fastest of the three dense paths; overlap vs exact ~0.98)."""
+    matmul path's real rate shows. Reports the production approx path
+    AND the exact Pallas fused kernel (threshold-gated insertion merge,
+    round 3) — the latter is the fastest exact path (vs exact-XLA)."""
     import jax.numpy as jnp
 
-    from a_modular_rag_framework_tpu.ops.topk import dense_topk_approx
+    from a_modular_rag_framework_tpu.ops.topk import (
+        dense_topk_approx,
+        dense_topk_pallas,
+    )
 
     rng = np.random.default_rng(0)
     B, N, d, k = 1024, 131072, 512, 100
     D = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32)
                     ).astype(jnp.bfloat16)
     Q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
-    s, _ = dense_topk_approx(Q, D, k)
-    np.asarray(s)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        s, _ = dense_topk_approx(Q, D, k)
+
+    def best_of(f, reps=3):
+        s, _ = f()
         np.asarray(s)
-        best = min(best, time.time() - t0)
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            s, _ = f()
+            np.asarray(s)
+            b = min(b, time.time() - t0)
+        return b
+
+    best = best_of(lambda: dense_topk_approx(Q, D, k))
     fl = 2.0 * B * N * d
-    return {
+    out = {
         "dense_probe_ms": round(best * 1e3, 1),
         "dense_probe_tflops": round(fl / best / 1e12, 2),
         "dense_probe_shape": f"B{B}xN{N}xd{d}k{k}",
     }
+    try:
+        bp = best_of(lambda: dense_topk_pallas(
+            Q, D, k, tile_n=2048, tile_b=256, compute_dtype=jnp.bfloat16))
+        out["dense_probe_pallas_exact_ms"] = round(bp * 1e3, 1)
+    except Exception as e:
+        out["dense_probe_pallas_error"] = repr(e)[:200]
+    return out
 
 
 def serving_block(idx, questions) -> dict:

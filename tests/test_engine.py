@@ -20,7 +20,11 @@ from a_modular_rag_framework_tpu.parallel.sharded import shard_corpus_rows, shar
 def packed():
     samples = SyntheticHotpotQALoader({"count": 20, "seed": 5}).load()
     corpus = SentenceCorpus.from_hotpotqa(samples)
-    return build_packed_index(corpus, embed_dim=64, embed_dtype="float32"), samples
+    # reference-formula parity fixture: phrase-token augmentation off
+    # (the oracle below scores plain tokens; the augmentation is our
+    # extension and has its own test)
+    return build_packed_index(corpus, embed_dim=64, embed_dtype="float32",
+                              bm25_phrase_tokens=False), samples
 
 
 def hybrid_oracle(corpus_texts, query, variants, seeds, window, pool_k, k,
