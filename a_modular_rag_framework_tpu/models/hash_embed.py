@@ -44,9 +44,14 @@ def phrase_augment(text: str) -> str:
     (engine.encode_query_term_ids); unknown phrase tokens simply miss the
     vocab, so indexes built without augmentation are unaffected.
     """
+    # str.islower() is a C-speed scan: pruned/re-joined queries are fully
+    # lowercase, so the (second) augmentation pass on them costs ~1us
+    # instead of a capitalized-run walk (32ms/2048-batch of host budget)
+    if not text or text.islower():
+        return text
     from ..utils.textspan import capitalized_runs
 
-    runs = [r for r in capitalized_runs(text or "") if " " in r]
+    runs = [r for r in capitalized_runs(text) if " " in r]
     if not runs:
         return text
     extra = ["00".join(tokenize(r)) for r in runs]

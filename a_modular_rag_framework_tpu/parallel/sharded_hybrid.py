@@ -470,15 +470,23 @@ class ShardedHybridEngine:
         return pending.result()
 
     def query_batches_pipelined(self, batches: Sequence[Sequence[str]], **kw):
-        """One batch always in flight (same contract as TPUQueryEngine)."""
-        pending = None
+        """Prep-ahead pipelining (same contract + threading discipline as
+        TPUQueryEngine.query_batches_pipelined): a worker thread preps and
+        dispatches batch i+1 while the caller blocks fetching batch i."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = getattr(self, "_prep_pool", None)
+        if pool is None:
+            pool = self._prep_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="amrf-prep")
+        pending: deque = deque()
         for b in batches:
-            cur = self.query_batch_async(b, **kw)
-            if pending is not None:
-                yield pending.result()
-            pending = cur
-        if pending is not None:
-            yield pending.result()
+            pending.append(pool.submit(self.query_batch_async, b, **kw))
+            if len(pending) >= 3:
+                yield pending.popleft().result().result()
+        while pending:
+            yield pending.popleft().result().result()
 
     def query_batch_async(
         self,

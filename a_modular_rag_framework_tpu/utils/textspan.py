@@ -60,10 +60,13 @@ def capitalized_runs(text: str, *, min_words: int = 1,
 
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0)
-        gap = text[prev_end:m.start()] if prev_end >= 0 else ""
-        # a middle initial's period makes the gap ". " — still adjacent
-        adjacent = run_start >= 0 and (
-            gap == " " or (prev_initial and gap == ". "))
+        start = m.start()
+        # adjacency = single-space gap (or ". " after a middle initial);
+        # positional compare avoids allocating a gap substring per token
+        adjacent = run_start >= 0 and prev_end >= 0 and (
+            (start - prev_end == 1 and text[prev_end] == " ")
+            or (prev_initial and start - prev_end == 2
+                and text[prev_end] == "." and text[prev_end + 1] == " "))
         is_initial = len(tok) == 1 and tok.isupper()
         if _is_cap_word(tok):
             if not adjacent:
