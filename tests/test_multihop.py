@@ -239,3 +239,59 @@ def test_hop2_reserve_protects_bridge_evidence():
     # id 30 scores 0.9 * 0.5 = 0.45 < every hop-1 tail score, but the
     # reserve must still place it in the top-10
     assert 30 in ids[0].tolist()
+
+
+def test_doc_bridge_runs_cache_and_invalidation(setup):
+    """The per-doc bridge-run cache must (a) produce identical results to
+    the uncached path, (b) populate on first use, (c) invalidate when the
+    engine's index object is swapped."""
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        doc_bridge_runs, _prep_and_dispatch_hop2)
+
+    engine, samples = setup
+    qs = [s["question"] for s in samples[:8]]
+    r1 = engine.query_batch(qs, top_k=20)
+
+    # uncached oracle: bridge_entities on raw texts
+    titles = {d.get("title") for d in engine.index.corpus.docs} - {None}
+    ids1 = np.asarray(r1.hits.ids)
+    oracle = []
+    for b, q in enumerate(qs):
+        texts = [engine.index.corpus.docs[int(i)].get("text", "")
+                 for i in ids1[b][:20] if i >= 0]
+        oracle.append(bridge_entities(q, texts, known_titles=titles))
+
+    engine._mh_doc_runs = None  # force rebuild
+    ctx, _p = _prep_and_dispatch_hop2(
+        engine, qs, r1, top_k=10, hop1_inspect=20, max_bridge_entities=4,
+        graph_window=None, trace_id="")
+    cached_qs = ctx["diagnostics"]["hop2_queries"]
+    for b, bridges in enumerate(oracle):
+        if bridges:
+            assert bridges[0] in cached_qs[b]
+        else:
+            assert cached_qs[b] == ""
+
+    # cache populated and keyed on the index object
+    key, runs = engine._mh_doc_runs
+    assert key is engine.index and len(runs) > 0
+    # every cached entry matches a fresh extraction
+    for ii, entry in list(runs.items())[:10]:
+        text = engine.index.corpus.docs[ii].get("text", "")
+        assert entry == doc_bridge_runs(text, titles)
+
+    # swapping the index invalidates: stale cache must not survive
+    old_index = engine.index
+
+    class _Swap:  # same attributes, different identity
+        def __getattr__(self, name):
+            return getattr(old_index, name)
+    engine.index = _Swap()
+    try:
+        _prep_and_dispatch_hop2(
+            engine, qs, r1, top_k=10, hop1_inspect=20,
+            max_bridge_entities=4, graph_window=None, trace_id="")
+        assert engine._mh_doc_runs[0] is engine.index
+        assert engine._mh_doc_runs[0] is not old_index
+    finally:
+        engine.index = old_index
