@@ -233,8 +233,16 @@ def select_evidence_for_steps(
     global_order = sorted(range(n), key=lambda i: _hit_score(H[i]), reverse=True)
 
     # capitalized runs per text, pre-stemmed once: used for the answer-slot
-    # bonus (below) and the carry update
-    text_runs = [[(r, set(_stems(tokenize(r)))) for r in capitalized_runs(t)]
+    # bonus (below) and the carry update. A SINGLE capitalized word at the
+    # start of the text is ordinary sentence capitalization ("Later in
+    # life ... retired"), not an answer span or an entity — counting it
+    # gave biography filler a spurious slot bonus that outscored the true
+    # collaboration sentence by 0.003 and poisoned the carry (the two
+    # plain-corpus twin misses). Multi-word runs keep their status
+    # anywhere, including sentence-initial names ("Alden Kelholan was
+    # born in ...").
+    text_runs = [[(r, set(_stems(tokenize(r)))) for r in capitalized_runs(t)
+                  if " " in r or not t.startswith(r)]
                  for t in texts]
 
     carry: set = set()  # bridge-entity tokens discovered in earlier steps
