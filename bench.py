@@ -408,6 +408,7 @@ def train_step_mfu() -> dict:
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from a_modular_rag_framework_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -417,6 +418,16 @@ def main() -> None:
     from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
     from a_modular_rag_framework_tpu.modules.retrieval.multihop import iterative_retrieve
 
+    # First contact with the device: under the axon tunnel, per-process
+    # device-session establishment costs minutes and hits ANY jax program
+    # (an 8x8 jitted matmul measured 756s on a bad day, same session then
+    # loaded the full warm-cache engine program in 1.6s). Time it on a
+    # trivial op so the engine's own compile/load cost below is not
+    # conflated with an environment constant no framework can influence.
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8,), jnp.float32)))
+    device_init_sec = time.time() - t0
+
     idx, samples, t_build = build_or_load_index(N_SAMPLES, CACHE_DIR)
     engine = make_engine(idx, BATCH)
     questions = [s["question"] for s in samples[:BATCH]]
@@ -424,7 +435,7 @@ def main() -> None:
         questions = (questions * ((BATCH // len(questions)) + 1))[:BATCH]
 
     t0 = time.time()
-    engine.query_batch(questions)  # compile + warmup
+    engine.query_batch(questions)  # compile (or warm-cache load) + warmup
     compile_sec = time.time() - t0
 
     pipe_qps, seq_qps, device_ms = measure_throughput(engine, questions)
@@ -473,6 +484,7 @@ def main() -> None:
         "batch": BATCH,
         "graph_window": WINDOW,
         "compile_sec": round(compile_sec, 1),
+        "device_init_sec": round(device_init_sec, 1),
         "index_build_sec": round(t_build, 1) if t_build else None,
         "index_build_passages_per_sec": (idx.manifest.get("build_stats") or {}).get("passages_per_sec"),
         "index_device_bytes": index_device_bytes(engine),
