@@ -187,3 +187,54 @@ def test_capitalized_runs_matches_old_ascii_behavior():
                             min_words=2) == ["Kestrel Point", "Zephyr Bay"]
     assert capitalized_runs("In which city was Alden Ravkelsel born?",
                             min_words=2) == ["Alden Ravkelsel"]
+
+
+def test_capitalized_runs_ascii_fast_path_matches_general_loop():
+    # the ASCII fast path (_runs_ascii, one compiled regex) must be
+    # bit-identical to the general token loop (_runs_general) on every
+    # text it claims: ASCII without apostrophes/hyphens. Property-test
+    # over randomized compositions of the tricky vocabulary plus
+    # hand-picked edge cases.
+    import random
+
+    from a_modular_rag_framework_tpu.utils.textspan import (
+        _runs_ascii, _runs_general,
+    )
+
+    edge_cases = [
+        "",
+        "john smith",
+        "John",
+        "John Smith",
+        "John D. Rockefeller",
+        "John D Rockefeller",
+        "Ed A. B. Smith",
+        "Ed A.  Smith",       # double space after initial: run breaks
+        "Ed AB Smith",        # acronym breaks the run
+        "John. Smith",        # period after full word: not adjacent
+        "xJohn Smith",        # glued prefix: John is inside a token
+        "3John Smith",        # digit prefix: token starts at J
+        "USA Today",
+        "ABc DEf",            # internal-lowercase acronyms count
+        "Later in life Alden Jorholan retired.",
+        "John Smith  Jane Doe",   # double space splits runs
+        "A Smith",            # lone initial cannot start a run
+        "John D.",            # trailing initial does not extend
+        "McDonald met LaToya Jackson",
+        "The Fall of Rome",   # particles OFF by default: 3 runs
+    ]
+    for t in edge_cases:
+        assert _runs_ascii(t, 1) == _runs_general(t, 1, False), t
+        assert _runs_ascii(t, 2) == _runs_general(t, 2, False), t
+
+    rng = random.Random(7)
+    vocab = ["John", "D.", "D", "AB", "ABc", "smith", "Smith", "the",
+             "NASA", "McDonald", "x", "X", "3", "of", "van", "a.",
+             "Bob3", "U.S", "e", "Y"]
+    seps = [" ", " ", " ", "  ", ", ", ". ", " . ", ""]
+    for _ in range(2000):
+        t = ""
+        for _ in range(rng.randrange(1, 10)):
+            t += rng.choice(vocab) + rng.choice(seps)
+        mw = rng.choice([1, 2])
+        assert _runs_ascii(t, mw) == _runs_general(t, mw, False), repr(t)
