@@ -459,6 +459,7 @@ class TPUQueryEngine:
                     term_ids, bm["doc_ids"], bm["scores"], bm["row_ptr"],
                     n_docs=n, term_topm=min(cfg.bm25_term_topm, cap),
                     pool_k=pool_k,
+                    posting_packed=bm.get("posting_packed"),
                 )
                 pad = pool_k - pool_s.shape[1]
                 if pad > 0:

@@ -214,9 +214,11 @@ class Bm25DeviceIndex:
         self._dmp_cache = (doc_cap, terms, scores)
         return terms, scores
 
-    def device_arrays(self, doc_cap: int = 64) -> Dict[str, jnp.ndarray]:
+    def device_arrays(self, doc_cap: int = 64, *,
+                      packed_postings: Optional[bool] = None,
+                      ) -> Dict[str, jnp.ndarray]:
         dmp_terms, dmp_scores = self.doc_major_padded(doc_cap)
-        return {
+        out = {
             "doc_ids": jnp.asarray(self.doc_ids),
             "tfs": jnp.asarray(self.tfs),
             "row_ptr": jnp.asarray(self.row_ptr),
@@ -226,6 +228,20 @@ class Bm25DeviceIndex:
             "doc_terms_padded": jnp.asarray(dmp_terms),
             "doc_scores_padded": jnp.asarray(dmp_scores),
         }
+        # interleaved (doc_id, bitcast(score)) pairs so phase-1's posting
+        # window gather is ONE take of 8-byte rows instead of two 4-byte
+        # gathers (the gather is per-element-overhead-bound on TPU:
+        # 6.9ms -> ~half for 2MB of windows at B=2048). Derived at load,
+        # not part of the disk format; auto-skip above 256MB of postings
+        # (the duplicate would cost ~1.6GB of HBM at fullwiki scale for a
+        # ~3ms/batch win).
+        if packed_postings is None:
+            packed_postings = self.doc_ids.size * 8 <= (256 << 20)
+        if packed_postings:
+            out["posting_packed"] = jnp.asarray(np.stack(
+                [np.asarray(self.doc_ids, dtype=np.int32),
+                 np.asarray(self.ensure_scores()).view(np.int32)], axis=1))
+        return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "term_topm", "pool_k"))
@@ -238,6 +254,7 @@ def bm25_topk_sorted(
     n_docs: int,
     term_topm: int = 64,
     pool_k: int = 200,
+    posting_packed: Optional[jax.Array] = None,  # [P, 2] (id, bitcast score)
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter-free BM25 pool selection: (pool scores [B,K], pool ids [B,K]).
 
@@ -261,8 +278,6 @@ def bm25_topk_sorted(
     B, E, T = term_ids.shape
     N = n_docs
     m = term_topm
-    doc_ids_p = jnp.concatenate([doc_ids, jnp.full((m,), N, dtype=jnp.int32)])
-    contribs_p = jnp.concatenate([contribs, jnp.zeros((m,), dtype=jnp.float32)])
 
     flat_t = term_ids.reshape(-1)
     valid = flat_t >= 0
@@ -274,9 +289,25 @@ def bm25_topk_sorted(
     # slices that run ~2x slower than one big gather on TPU
     j = jnp.arange(m, dtype=jnp.int32)[None, :]
     win_idx = starts[:, None] + j
-    docs_w = jnp.take(doc_ids_p, win_idx)  # [B*E*T, m]
-    c_w = jnp.take(contribs_p, win_idx)
     in_range = (j < lengths[:, None]) & valid[:, None]
+    if posting_packed is not None:
+        # one gather of interleaved 8-byte (id, score) rows — the gather is
+        # per-element-overhead-bound, so halving the element count beats
+        # two separate 4-byte takes
+        pad = jnp.broadcast_to(
+            jnp.asarray([N, 0], dtype=jnp.int32)[None, :], (m, 2))
+        packed_p = jnp.concatenate([posting_packed, pad])
+        rows = jnp.take(packed_p, win_idx.reshape(-1), axis=0)
+        docs_w = rows[:, 0].reshape(win_idx.shape)
+        c_w = jax.lax.bitcast_convert_type(
+            rows[:, 1], jnp.float32).reshape(win_idx.shape)
+    else:
+        doc_ids_p = jnp.concatenate(
+            [doc_ids, jnp.full((m,), N, dtype=jnp.int32)])
+        contribs_p = jnp.concatenate(
+            [contribs, jnp.zeros((m,), dtype=jnp.float32)])
+        docs_w = jnp.take(doc_ids_p, win_idx)  # [B*E*T, m]
+        c_w = jnp.take(contribs_p, win_idx)
     docs_w = jnp.where(in_range, docs_w, N)
     c_w = jnp.where(in_range, c_w, 0.0)
 
@@ -289,20 +320,22 @@ def bm25_topk_sorted(
     # — runs are summed), instead of argsort + 2 row-gathers.
     docs_s, c_s = jax.lax.sort((docs_q, c_q), dimension=1, num_keys=1)
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (B * E, W), 1)
     boundary = jnp.concatenate(
         [jnp.ones((B * E, 1), dtype=jnp.bool_), docs_s[:, 1:] != docs_s[:, :-1]],
         axis=1,
     )
     c_cum = jnp.cumsum(c_s, axis=1)
-    start_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(boundary, idx, -1), axis=1
-    )  # index of each run's first element
-    base = jnp.where(
-        start_idx > 0,
-        jnp.take_along_axis(c_cum, jnp.maximum(start_idx - 1, 0), axis=1),
-        0.0,
+    # each run's base = c_cum just BEFORE the run start, propagated across
+    # the run by a value cummax: contributions are >= 0 (the Lucene-style
+    # idf has +1 inside the log, so it is always positive), hence c_cum is
+    # nondecreasing and the most recent boundary's value IS the row max so
+    # far. One cummax replaces the positional associative_scan +
+    # take_along_axis of the earlier formulation, bit-identically (the
+    # subtraction operand is the same c_cum[start-1] value either way).
+    prev_cum = jnp.concatenate(
+        [jnp.zeros((B * E, 1), dtype=c_cum.dtype), c_cum[:, :-1]], axis=1
     )
+    base = jax.lax.cummax(jnp.where(boundary, prev_cum, 0.0), axis=1)
     run_total = c_cum - base
     is_run_end = jnp.concatenate(
         [docs_s[:, 1:] != docs_s[:, :-1], jnp.ones((B * E, 1), dtype=jnp.bool_)],

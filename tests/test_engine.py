@@ -162,6 +162,33 @@ def test_sorted_bm25_pipeline_scores_exact(packed):
             assert (dense[b, pd[b][valid]] >= cutoff - 1e-4).all()
 
 
+def test_sorted_bm25_packed_gather_bit_identical(packed):
+    """posting_packed (one interleaved 8-byte gather) must return exactly
+    the same pool as the two-array gather path."""
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.bm25 import bm25_topk_sorted
+
+    idx, samples = packed
+    dev = idx.bm25.device_arrays(packed_postings=True)
+    assert "posting_packed" in dev
+    n = idx.n_docs
+    engine = TPUQueryEngine(idx, config=EngineConfig(batch_buckets=(4,)))
+    _, term_ids = engine.encode_queries(
+        [[s["question"]] for s in samples[:4]], n_variants=1
+    )
+    tid = jnp.asarray(term_ids)
+    ps1, pd1 = bm25_topk_sorted(tid, dev["doc_ids"], dev["scores"],
+                                dev["row_ptr"], n_docs=n, term_topm=16,
+                                pool_k=50)
+    ps2, pd2 = bm25_topk_sorted(tid, dev["doc_ids"], dev["scores"],
+                                dev["row_ptr"], n_docs=n, term_topm=16,
+                                pool_k=50,
+                                posting_packed=dev["posting_packed"])
+    np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+    np.testing.assert_array_equal(np.asarray(ps1), np.asarray(ps2))
+
+
 def test_engine_retrieves_supporting_facts(packed):
     """Recall sanity on an adversarial synthetic corpus (name-collision
     distractors): hybrid with weighted graph expansion must not lose to
