@@ -44,6 +44,7 @@ import numpy as np
 from ..core.dto import HitBatch
 from ..index.packed import PackedIndex
 from ..models.hash_embed import phrase_augment, HashEmbedEncoder, tokenize
+from ..utils.textspan import capitalized_runs
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
 from ..ops.fusion import fuse_channels, fuse_pools_compact
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
@@ -234,8 +235,19 @@ def prune_query(q: str, high_df_terms: Optional[set]) -> str:
         return q
     # phrase-augment BEFORE pruning: the re-join lowercases, which would
     # hide the capitalized runs from encode_query_term_ids' augmentation;
-    # the phrase pseudo-tokens themselves are low-df and survive the prune
-    kept = [t for t in tokenize(phrase_augment(q)) if t not in high_df_terms]
+    # the phrase pseudo-tokens themselves are low-df and survive the prune.
+    # Fused form of `tokenize(phrase_augment(q))` — build the phrase
+    # pseudo-tokens straight from the capitalized runs instead of
+    # string-concatenating an augmented query and re-tokenizing it (the
+    # query prep path runs per batch inside the pipelined loop; the
+    # intermediate string cost ~4ms of a 2048-batch's host budget)
+    kept = [t for t in tokenize(q) if t not in high_df_terms]
+    if not q.islower():
+        for r in capitalized_runs(q):
+            if " " in r:
+                p = "00".join(tokenize(r))
+                if p not in high_df_terms:
+                    kept.append(p)
     return " ".join(kept) if kept else q
 
 
@@ -505,7 +517,9 @@ class TPUQueryEngine:
                     c_seed_ids = seed_rows
                     c_seed_vals = (seed_rows >= 0).astype(jnp.float32)
                 else:
-                    S_eff = min(S, pool_k)
+                    # cfg.max_seed_rows, NOT the key's S (the seed
+                    # argument's width — a [B, 1] placeholder here)
+                    S_eff = min(cfg.max_seed_rows, pool_k)
                     top_seed_s, seed_pos = jax.lax.top_k(pool_s, S_eff)
                     c_seed_ids = jnp.take_along_axis(pool_i, seed_pos, axis=1)
                     seed_ok = (top_seed_s > 0) & (c_seed_ids >= 0)
@@ -576,7 +590,9 @@ class TPUQueryEngine:
 
                     graph_scores = jax.vmap(one_expand)(seed_mask)  # [B, N]
             else:
-                S_eff = min(S, pool_k)
+                # NOT the key's S — that is the seed ARGUMENT's width,
+                # a [B, 1] placeholder when seeds are derived on device
+                S_eff = min(cfg.max_seed_rows, pool_k)
                 # seeds = strongest BM25 pool entries
                 top_seed_s, seed_pos = jax.lax.top_k(pool_s, S_eff)
                 top_seed_i = jnp.take_along_axis(pool_i, seed_pos, axis=1)
@@ -806,7 +822,11 @@ class TPUQueryEngine:
         T_eff = term_ids.shape[2]
 
         seeds_explicit = seed_rows is not None
-        S = cfg.max_seed_rows
+        # without explicit seeds the program derives seeds from the BM25
+        # pool and never reads this argument — ship a [B, 1] placeholder
+        # instead of [B, max_seed_rows] of -1s (1.6MB of dead host->device
+        # transfer per 2048-batch through the tunnel)
+        S = cfg.max_seed_rows if seeds_explicit else 1
         seed_arr = np.full((B, S), -1, dtype=np.int32)
         if seeds_explicit:
             for i in range(min(B_real, B)):
