@@ -108,6 +108,22 @@ class EngineConfig:
     # so existing configs can pin prior behavior explicitly.)
     graph_pool_approx_from: int = 4096
     graph_pool_exact: bool = False
+    # dense-channel formulation:
+    #   "pool"   — gather the pool rows' embeddings ([B, K, d]) and dot
+    #              with the query: N-independent, the only option at scale
+    #   "matmul" — one MXU matmul Q @ Eᵀ ([B, N] scores) + a scalar
+    #              take_along_axis at the pool ids. The row gather is
+    #              per-element-overhead-bound on TPU (~11ms of the 68ms
+    #              program at B=2048, K=200), while the matmul is ~free
+    #              at [B, N] sizes; requires the [B, N] buffer.
+    #   "auto"   — currently "pool": the matmul's f32 accumulation order
+    #              differs from the gather-einsum's, flipping near-tie
+    #              rankings, so it would break the bit-for-bit agreement
+    #              promised across engine formulations (dense/compact
+    #              graph, sharded/single-chip). Opt in per engine where
+    #              throughput matters more than cross-formulation
+    #              bit-parity (bench.py's headline engine does).
+    dense_impl: str = "auto"
     # idf-guided query pruning: drop query tokens whose document frequency
     # exceeds this fraction of the corpus before encoding (0 = off, the
     # reference-parity behavior). High-df tokens contribute ~nothing to
@@ -439,6 +455,13 @@ class TPUQueryEngine:
             cfg.graph_impl == "compact"
             or (cfg.graph_impl == "auto" and B * n * 4 > 256 << 20)
         )
+        if cfg.dense_impl == "matmul" and use_compact_graph:
+            # compact mode exists precisely to avoid [B, N] buffers; a
+            # [4096, 5.17M] f32 dense-score matrix is an 84GB OOM
+            raise ValueError(
+                "dense_impl='matmul' materializes [B, N] dense scores and "
+                "cannot be combined with the compact graph path; use "
+                "dense_impl='pool' (or 'auto') at corpus scale")
 
         def _pack_outputs(top_s, top_i, norms_at, counts):
             # two output arrays instead of four: each device->host transfer
@@ -498,11 +521,26 @@ class TPUQueryEngine:
             qn = q_emb / jnp.maximum(
                 jnp.sqrt(jnp.sum(q_emb * q_emb, axis=1, keepdims=True)), 1e-9
             )
-            pool_emb = jnp.take(emb, jnp.where(pool_valid, pool_i, 0), axis=0)
-            dense_pool = jnp.einsum(
-                "bd,bkd->bk", qn, pool_emb.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
+            use_dense_matmul = cfg.dense_impl == "matmul"
+            if use_dense_matmul:
+                # [B, N] = Q @ Eᵀ on the MXU, then a scalar gather at the
+                # pool ids — the [B, K, d] row gather is per-element-
+                # overhead-bound while this matmul is ~free at [B, N]
+                # sizes (only taken in the dense-graph regime where a
+                # [B, N] buffer already exists)
+                dense_all = jnp.einsum(
+                    "bd,nd->bn", qn, emb.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                dense_pool = jnp.take_along_axis(
+                    dense_all, jnp.where(pool_valid, pool_i, 0), axis=1)
+            else:
+                pool_emb = jnp.take(
+                    emb, jnp.where(pool_valid, pool_i, 0), axis=0)
+                dense_pool = jnp.einsum(
+                    "bd,bkd->bk", qn, pool_emb.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
             dense_pool = jnp.where(pool_valid, dense_pool, 0.0)
 
             # ---- graph channel: frontier expansion with hop decay ----

@@ -96,10 +96,16 @@ def make_engine(idx, batch, **overrides):
     # tokens concentrate the signal in the top terms), iterative recall
     # 1.0 and MRR 0.342 at 16 — so the headline runs the same phase-1
     # width as the tuned scale rows and saves the dead device work
+    # dense_impl="matmul": the headline corpus is in the [B, N] regime
+    # where one MXU matmul + a scalar gather replaces the per-element-
+    # overhead-bound [B, K, d] row gather (~11ms of the 68ms program).
+    # Rankings can differ from the pool formulation at f32 near-ties
+    # (different accumulation order) — recall below is measured on this
+    # exact engine, not assumed.
     cfg = dict(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                bm25_posting_cap=1024, batch_buckets=(batch,),
                query_df_ratio_max=0.05, bm25_term_topm=16,
-               graph_wave_dtype="bfloat16")
+               graph_wave_dtype="bfloat16", dense_impl="matmul")
     cfg.update(overrides)
     return TPUQueryEngine(idx, config=EngineConfig(**cfg))
 
@@ -108,7 +114,8 @@ def make_scale_engine(idx):
     """Tuned operating point for the >=100k-row scale rows (see A/B note
     at SCALE_BATCH above)."""
     return make_engine(idx, SCALE_BATCH, bm25_term_topm=SCALE_TERM_TOPM,
-                       graph_compact_cap=SCALE_COMPACT_CAP)
+                       graph_compact_cap=SCALE_COMPACT_CAP,
+                       dense_impl="auto")  # no [B, N] at corpus scale
 
 
 def measure_throughput(engine, questions):

@@ -189,6 +189,39 @@ def test_sorted_bm25_packed_gather_bit_identical(packed):
     np.testing.assert_array_equal(np.asarray(ps1), np.asarray(ps2))
 
 
+def test_dense_matmul_impl_matches_pool_scores(packed):
+    """dense_impl='matmul' must produce the same dense-channel VALUES as
+    the pool-gather formulation (within f32 accumulation tolerance), and
+    near-identical final rankings on a tie-free query set."""
+    idx, samples = packed
+    qs = [s["question"] for s in samples[:8]]
+    base = dict(top_k=10, pool_k=64, graph_window=2, bm25_term_topm=4096,
+                batch_buckets=(8,), graph_wave_dtype="float32")
+    e_p = TPUQueryEngine(idx, config=EngineConfig(dense_impl="pool", **base))
+    e_m = TPUQueryEngine(idx, config=EngineConfig(dense_impl="matmul", **base))
+    r_p = e_p.query_batch(qs)
+    r_m = e_m.query_batch(qs)
+    np.testing.assert_allclose(np.asarray(r_m.hits.scores),
+                               np.asarray(r_p.hits.scores), atol=1e-5)
+    # rankings agree except where adjacent scores are within tolerance
+    ids_p, ids_m = np.asarray(r_p.hits.ids), np.asarray(r_m.hits.ids)
+    s_p = np.asarray(r_p.hits.scores)
+    for b in range(ids_p.shape[0]):
+        for k in range(ids_p.shape[1]):
+            if ids_p[b, k] != ids_m[b, k]:
+                close = np.abs(s_p[b] - s_p[b, k]) < 1e-5
+                assert close.sum() > 1, (b, k)
+
+
+def test_dense_matmul_rejected_with_compact_graph(packed):
+    idx, samples = packed
+    eng = TPUQueryEngine(idx, config=EngineConfig(
+        dense_impl="matmul", graph_impl="compact", batch_buckets=(4,),
+        graph_compact_cap=64))
+    with pytest.raises(ValueError, match="compact"):
+        eng.query_batch([s["question"] for s in samples[:4]])
+
+
 def test_engine_retrieves_supporting_facts(packed):
     """Recall sanity on an adversarial synthetic corpus (name-collision
     distractors): hybrid with weighted graph expansion must not lose to
