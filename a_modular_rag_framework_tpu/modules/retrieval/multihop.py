@@ -49,6 +49,8 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
                     max_entities: int = 4,
                     known_titles: Optional[set] = None,
                     text_runs: Optional[Sequence[Sequence[tuple]]] = None,
+                    q_ents: Optional[List[str]] = None,
+                    q_tokens: Optional[set] = None,
                     ) -> List[str]:
     """Bridge candidates: proper-noun spans co-occurring with a FULL question
     entity phrase in hop-1 evidence.
@@ -65,8 +67,11 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
     pre-extracted `doc_bridge_runs`; when given, the per-text extraction
     and the title/question-word filters are skipped here (already applied
     at cache build)."""
-    q_ents = [e for e in capitalized_runs(query) if e not in _QUESTION_WORDS]
-    q_tokens = set(tokenize(query))
+    if q_ents is None:
+        q_ents = [e for e in capitalized_runs(query)
+                  if e not in _QUESTION_WORDS]
+    if q_tokens is None:
+        q_tokens = set(tokenize(query))
     counts: Dict[str, int] = {}
     first_seen: Dict[str, int] = {}
     for rank, text in enumerate(hit_texts):
@@ -91,11 +96,14 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
 
 
 def hop2_queries_for(query: str, bridges: Sequence[str],
-                     max_variants: int = 3) -> List[str]:
+                     max_variants: int = 3,
+                     q_ents: Optional[Sequence[str]] = None) -> List[str]:
     """One hop-2 query PER bridge entity (bridge + the question's predicate
     words); the engine max-merges them as BM25 variants, so a wrong bridge
     can't dilute a right one."""
-    q_ents = set(e for e in capitalized_runs(query) if e not in _QUESTION_WORDS)
+    if q_ents is None:
+        q_ents = [e for e in capitalized_runs(query)
+                  if e not in _QUESTION_WORDS]
     ent_tokens = set(tokenize(" ".join(q_ents)))
     predicates = [t for t in tokenize(query)
                   if t not in ent_tokens and len(t) > 2]
@@ -237,22 +245,31 @@ def _prep_and_dispatch_hop2(
     hop2_queries: List[str] = []
     hop2_expansions: List[List[str]] = []
     active: List[bool] = []
+    # one C-speed conversion instead of B*hop1_inspect numpy-scalar int()
+    # casts inside the loop (~20ms of the per-batch host budget)
+    ids_rows = ids1[:, :hop1_inspect].tolist()
     for b, q in enumerate(queries):
         texts: List[str] = []
         runs: List[List[tuple]] = []
-        for i in ids1[b][:hop1_inspect]:
-            if i < 0:
+        for ii in ids_rows[b]:
+            if ii < 0:
                 continue
-            ii = int(i)
             entry = doc_runs.get(ii)
             text = docs[ii].get("text", "")
             if entry is None:
                 entry = doc_runs[ii] = doc_bridge_runs(text, known_titles)
             texts.append(text)
             runs.append(entry)
+        # query-side derivations shared by bridge ranking and hop-2 query
+        # construction (each used to re-extract runs + re-tokenize)
+        q_ents = [e for e in capitalized_runs(q)
+                  if e not in _QUESTION_WORDS]
         bridges = bridge_entities(q, texts, max_entities=max_bridge_entities,
-                                  known_titles=known_titles, text_runs=runs)
-        variants = hop2_queries_for(q, bridges) if bridges else []
+                                  known_titles=known_titles, text_runs=runs,
+                                  q_ents=q_ents,
+                                  q_tokens=set(tokenize(q)))
+        variants = (hop2_queries_for(q, bridges, q_ents=q_ents)
+                    if bridges else [])
         if variants:
             hop2_queries.append(variants[0])
             hop2_expansions.append(variants[1:])
