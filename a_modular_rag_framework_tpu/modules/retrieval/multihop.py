@@ -242,6 +242,27 @@ def _prep_and_dispatch_hop2(
             pass
 
     docs = engine.index.corpus.docs
+
+    # native C++ fast path: the whole bridge scan + hop-2 construction in
+    # one call (binding.NativeBridge); per-query None = Python fallback
+    # (non-ASCII / quote / hyphen texts, where byte-level caps detection
+    # would diverge from Python's Unicode tables)
+    native_out = None
+    bcached = getattr(engine, "_mh_native_bridge", None)
+    if bcached is not None and bcached[0] is engine.index:
+        nb = bcached[1]
+    else:
+        from ...native.binding import NativeBridge
+        nb = NativeBridge(docs, _QUESTION_WORDS)
+        try:
+            engine._mh_native_bridge = (engine.index, nb)
+        except AttributeError:
+            pass
+    if nb.available:
+        native_out = nb.hop2_batch(list(queries), ids1[:, :hop1_inspect],
+                                   max_entities=max_bridge_entities,
+                                   max_variants=3)
+
     hop2_queries: List[str] = []
     hop2_expansions: List[List[str]] = []
     active: List[bool] = []
@@ -249,6 +270,17 @@ def _prep_and_dispatch_hop2(
     # casts inside the loop (~20ms of the per-batch host budget)
     ids_rows = ids1[:, :hop1_inspect].tolist()
     for b, q in enumerate(queries):
+        if native_out is not None and native_out[b] is not None:
+            variants = native_out[b]
+            if variants:
+                hop2_queries.append(variants[0])
+                hop2_expansions.append(variants[1:])
+                active.append(True)
+            else:
+                hop2_queries.append("")
+                hop2_expansions.append([])
+                active.append(False)
+            continue
         texts: List[str] = []
         runs: List[List[tuple]] = []
         for ii in ids_rows[b]:

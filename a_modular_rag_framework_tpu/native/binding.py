@@ -216,3 +216,93 @@ def bm25_build_native(
                 "vocab": vocab}
     finally:
         lib.bm25_destroy(h)
+
+
+class NativeBridge:
+    """Native hop-2 bridge-extraction stage (iterative multi-hop mode).
+
+    Registers the corpus once (texts + titles, raw capitalization); each
+    batch call returns per-query '\\n'-joined hop-2 variants, or None for
+    queries the native path cannot serve bit-exactly (non-ASCII or
+    quote/hyphen texts — Python's Unicode-aware path handles those).
+    Semantics parity with modules/retrieval/multihop.py is asserted by
+    tests/test_native.py.
+    """
+
+    def __init__(self, docs: List[dict], question_words) -> None:
+        self._lib = load_native()
+        self._handle = None
+        if self._lib is None:
+            return
+        lib = self._lib
+        if not hasattr(lib, "_bridge_bound"):
+            lib.bridge_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.bridge_create.restype = ctypes.c_void_p
+            lib.bridge_destroy.argtypes = [ctypes.c_void_p]
+            c_char_pp = ctypes.POINTER(ctypes.c_char_p)
+            lib.bridge_add_docs.argtypes = [ctypes.c_void_p, c_char_pp,
+                                            c_char_pp, ctypes.c_int]
+            lib.bridge_hop2_batch.argtypes = [
+                ctypes.c_void_p, c_char_pp, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8)]
+            lib._bridge_bound = True
+        blob = ("\n".join(sorted(question_words)) + "\n").encode("utf-8")
+        self._handle = lib.bridge_create(blob, len(blob))
+        chunk = 65536
+        for i in range(0, len(docs), chunk):
+            part = docs[i:i + chunk]
+            texts = (ctypes.c_char_p * len(part))()
+            titles = (ctypes.c_char_p * len(part))()
+            keep = []
+            for j, d in enumerate(part):
+                t = (d.get("text") or "").encode("utf-8", errors="ignore")
+                ti = (d.get("title") or "").encode("utf-8", errors="ignore")
+                keep.append((t, ti))
+                texts[j] = t
+                titles[j] = ti
+            lib.bridge_add_docs(self._handle, texts, titles, len(part))
+
+    @property
+    def available(self) -> bool:
+        return self._handle is not None
+
+    def hop2_batch(self, queries: List[str], ids: np.ndarray,
+                   max_entities: int = 4, max_variants: int = 3,
+                   stride: int = 1024) -> Optional[List[Optional[List[str]]]]:
+        """-> per-query variant list ([] = inactive, None = use Python
+        fallback), or None when the native library is unavailable."""
+        if self._handle is None:
+            return None
+        B = len(queries)
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        K = ids.shape[1] if ids.ndim == 2 else 0
+        arr = (ctypes.c_char_p * B)()
+        keep = [q.encode("utf-8", errors="ignore") for q in queries]
+        for i, e in enumerate(keep):
+            arr[i] = e
+        out = ctypes.create_string_buffer(B * stride)
+        status = np.zeros(B, dtype=np.int8)
+        self._lib.bridge_hop2_batch(
+            self._handle, arr, B,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), K,
+            max_entities, max_variants, out, stride,
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        results: List[Optional[List[str]]] = []
+        raw = out.raw
+        for b in range(B):
+            if status[b]:
+                results.append(None)
+                continue
+            row = raw[b * stride:(b + 1) * stride]
+            s = row.split(b"\0", 1)[0].decode("utf-8", errors="ignore")
+            results.append(s.split("\n") if s else [])
+        return results
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None and self._lib is not None:
+            try:
+                self._lib.bridge_destroy(self._handle)
+            except Exception:
+                pass

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 #include <zlib.h>
 
@@ -282,6 +283,295 @@ void vocab_lookup_batch(void* hptr, const char* const* texts, int n,
       if (it != h->map.end()) row[filled++] = it->second;
     }
     for (int j = filled; j < max_terms; ++j) row[j] = -1;
+  }
+}
+
+}  // extern "C"
+
+// ---- iterative-mode bridge extraction (hop-2 query prep) ----
+//
+// Mirrors modules/retrieval/multihop.py exactly for "simple" texts —
+// pure-ASCII without apostrophes or hyphens, where the Python
+// capitalized-run fast path applies (utils/textspan.py). Queries touching
+// any non-simple text are flagged for the Python fallback instead of
+// being approximated: byte-level isupper/islower cannot reproduce
+// Python's Unicode tables, and a quote char is a token BREAK before a
+// word but a JOINER inside one.
+//
+// Not thread-safe: one handle is driven by the single prep thread of the
+// pipelined iterative loop.
+
+namespace {
+
+inline bool is_alpha(unsigned char c) {
+  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
+bool simple_text(const char* s) {
+  for (const unsigned char* p = (const unsigned char*)s; *p; ++p) {
+    if (*p >= 0x80 || *p == '\'' || *p == '-') return false;
+  }
+  return true;
+}
+
+// Maximal runs of adjacent capitalized words (textspan._runs_general
+// restricted to simple texts): words = maximal [A-Za-z]+ runs; cap word =
+// upper initial, len >= 2, at least one lowercase; single-uppercase
+// initials ride along ("John D. Rockefeller") over " " or ". " gaps; any
+// other token or gap breaks the run. min_words = 1.
+void capitalized_runs_ascii(const std::string& text,
+                            std::vector<std::string>& out) {
+  const char* s = text.c_str();
+  const int n = (int)text.size();
+  int run_start = -1, run_end = -1;
+  int caps_in_run = 0;
+  bool prev_initial = false;
+  int prev_end = -1;
+  auto flush = [&]() {
+    if (caps_in_run >= 1 && run_start >= 0)
+      out.emplace_back(text.substr(run_start, run_end - run_start));
+    run_start = run_end = -1;
+    caps_in_run = 0;
+    prev_initial = false;
+  };
+  int i = 0;
+  while (i < n) {
+    if (!is_alpha((unsigned char)s[i])) { ++i; continue; }
+    int start = i;
+    bool has_lower = false;
+    while (i < n && is_alpha((unsigned char)s[i])) {
+      if (s[i] >= 'a' && s[i] <= 'z') has_lower = true;
+      ++i;
+    }
+    int end = i;
+    int len = end - start;
+    bool adjacent = run_start >= 0 && prev_end >= 0 &&
+        ((start - prev_end == 1 && s[prev_end] == ' ') ||
+         (prev_initial && start - prev_end == 2 && s[prev_end] == '.' &&
+          s[prev_end + 1] == ' '));
+    bool cap_word = len >= 2 && s[start] >= 'A' && s[start] <= 'Z' &&
+                    has_lower;
+    bool is_initial = len == 1 && s[start] >= 'A' && s[start] <= 'Z';
+    if (cap_word) {
+      if (!adjacent) { flush(); run_start = start; caps_in_run = 0; }
+      run_end = end;
+      ++caps_in_run;
+      prev_initial = false;
+    } else if (adjacent && is_initial) {
+      prev_initial = true;
+    } else {
+      flush();
+    }
+    prev_end = end;
+  }
+  flush();
+}
+
+struct BridgeRun {
+  std::string text;                 // the run, raw capitalization
+  std::vector<std::string> tokens;  // sorted unique lowercase tokens
+};
+
+struct BridgeDoc {
+  std::string text;
+  bool simple = true;
+  bool runs_ready = false;
+  std::vector<BridgeRun> runs;
+};
+
+struct BridgeHandle {
+  std::unordered_set<std::string> qwords;
+  std::unordered_set<std::string> titles;
+  std::vector<BridgeDoc> docs;
+};
+
+// lowercase tokens of a simple text, sorted + deduped
+void token_set(const std::string& text, std::vector<std::string>& out) {
+  out.clear();
+  std::vector<std::string> toks;
+  tokenize(text.c_str(), toks);
+  std::sort(toks.begin(), toks.end());
+  toks.erase(std::unique(toks.begin(), toks.end()), toks.end());
+  out = std::move(toks);
+}
+
+void ensure_doc_runs(BridgeHandle* h, BridgeDoc& d) {
+  if (d.runs_ready) return;
+  d.runs_ready = true;
+  std::vector<std::string> runs;
+  capitalized_runs_ascii(d.text, runs);
+  for (auto& e : runs) {
+    if (h->qwords.count(e)) continue;
+    if (!h->titles.count(e)) continue;
+    BridgeRun r;
+    token_set(e, r.tokens);
+    r.text = std::move(e);
+    d.runs.push_back(std::move(r));
+  }
+}
+
+inline bool subset_of(const std::vector<std::string>& sorted_unique,
+                      const std::unordered_set<std::string>& super) {
+  for (auto& t : sorted_unique)
+    if (!super.count(t)) return false;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bridge_create(const char* qwords_blob, int64_t blob_len) {
+  auto* h = new BridgeHandle();
+  const char* p = qwords_blob;
+  const char* end = qwords_blob + blob_len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) nl = end;
+    if (nl > p) h->qwords.emplace(p, nl - p);
+    p = nl + 1;
+  }
+  return h;
+}
+
+void bridge_destroy(void* h) { delete static_cast<BridgeHandle*>(h); }
+
+// Register corpus rows in order (row id = arrival order). Raw text and
+// titles — capitalization is the signal here, unlike the lowercased BM25
+// feeds. Runs are extracted lazily on first inspection so registration
+// stays O(bytes) even at fullwiki scale.
+void bridge_add_docs(void* hptr, const char* const* texts,
+                     const char* const* titles, int n) {
+  auto* h = static_cast<BridgeHandle*>(hptr);
+  h->docs.reserve(h->docs.size() + n);
+  for (int i = 0; i < n; ++i) {
+    BridgeDoc d;
+    d.text = texts[i] ? texts[i] : "";
+    d.simple = simple_text(d.text.c_str());
+    h->docs.push_back(std::move(d));
+    if (titles && titles[i] && titles[i][0]) h->titles.emplace(titles[i]);
+  }
+}
+
+// Hop-2 query construction for a batch. ids is [B, K] row ids (-1 pad).
+// out is a [B, stride] char buffer receiving '\n'-joined hop-2 variants
+// per query ("" = no bridges / inactive). status[b]: 0 = ok, 1 = needs
+// the Python fallback (non-simple query or inspected doc, id out of
+// range, or output exceeded stride).
+void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
+                       const int32_t* ids, int K, int max_entities,
+                       int max_variants, char* out, int stride,
+                       int8_t* status) {
+  auto* h = static_cast<BridgeHandle*>(hptr);
+  std::vector<std::string> q_ents, q_toks_v, ent_toks_v;
+  std::vector<std::string> raw_runs, toks;
+  std::unordered_set<std::string> q_tokens, ent_tokens;
+  struct Cand { int count; int first; int order; const std::string* text; };
+  std::unordered_map<std::string, Cand> counts;
+  std::vector<const std::string*> cand_order;
+
+  for (int b = 0; b < B; ++b) {
+    char* row = out + (int64_t)b * stride;
+    row[0] = '\0';
+    status[b] = 0;
+    const char* q = queries[b] ? queries[b] : "";
+    if (!simple_text(q)) { status[b] = 1; continue; }
+
+    // ---- per-query derivations ----
+    std::string qs(q);
+    raw_runs.clear();
+    capitalized_runs_ascii(qs, raw_runs);
+    q_ents.clear();
+    for (auto& e : raw_runs)
+      if (!h->qwords.count(e)) q_ents.push_back(e);
+    toks.clear();
+    tokenize(q, toks);
+    q_tokens.clear();
+    q_tokens.insert(toks.begin(), toks.end());
+
+    // ---- candidate scan over inspected docs ----
+    counts.clear();
+    cand_order.clear();
+    int rank = 0;
+    bool fallback = false;
+    for (int k = 0; k < K; ++k) {
+      int32_t id = ids[(int64_t)b * K + k];
+      if (id < 0) continue;
+      if (id >= (int64_t)h->docs.size()) { fallback = true; break; }
+      BridgeDoc& d = h->docs[id];
+      if (!d.simple) { fallback = true; break; }
+      ensure_doc_runs(h, d);
+      int my_rank = rank++;
+      if (!q_ents.empty()) {
+        bool mentioned = false;
+        for (auto& qe : q_ents)
+          if (d.text.find(qe) != std::string::npos) { mentioned = true; break; }
+        if (!mentioned) continue;
+      }
+      for (auto& r : d.runs) {
+        bool is_q_ent = false, sub = false;
+        for (auto& qe : q_ents) {
+          if (r.text == qe) { is_q_ent = true; break; }
+          if (r.text.find(qe) != std::string::npos ||
+              qe.find(r.text) != std::string::npos) { sub = true; break; }
+        }
+        if (is_q_ent || sub) continue;
+        if (subset_of(r.tokens, q_tokens)) continue;
+        auto it = counts.find(r.text);
+        if (it == counts.end()) {
+          auto& c = counts[r.text];
+          c.count = 1; c.first = my_rank;
+          c.order = (int)cand_order.size(); c.text = &r.text;
+          cand_order.push_back(&r.text);
+        } else {
+          it->second.count += 1;
+        }
+      }
+    }
+    if (fallback) { status[b] = 1; continue; }
+    if (cand_order.empty()) continue;  // inactive, empty output
+
+    // rank by (-count, first_seen), stable in insertion order — matches
+    // Python's sorted() over dict-insertion-ordered keys
+    std::vector<int> order((size_t)cand_order.size());
+    for (size_t i2 = 0; i2 < order.size(); ++i2) order[i2] = (int)i2;
+    std::stable_sort(order.begin(), order.end(), [&](int a2, int b2) {
+      const Cand& ca = counts[*cand_order[a2]];
+      const Cand& cb = counts[*cand_order[b2]];
+      if (ca.count != cb.count) return ca.count > cb.count;
+      return ca.first < cb.first;
+    });
+    int n_bridges = std::min<int>(max_entities, (int)order.size());
+
+    // ---- hop-2 query construction (hop2_queries_for) ----
+    std::string joined;
+    for (auto& e : q_ents) {
+      if (!joined.empty()) joined += ' ';
+      joined += e;
+    }
+    toks.clear();
+    tokenize(joined.c_str(), toks);
+    ent_tokens.clear();
+    ent_tokens.insert(toks.begin(), toks.end());
+    toks.clear();
+    tokenize(q, toks);
+    std::string pred;
+    for (auto& t : toks) {
+      if (t.size() > 2 && !ent_tokens.count(t)) {
+        if (!pred.empty()) pred += ' ';
+        pred += t;
+      }
+    }
+    std::string result;
+    int n_out = std::min<int>(n_bridges, max_variants);
+    for (int v = 0; v < n_out; ++v) {
+      const std::string& bname = *cand_order[order[v]];
+      if (v) result += '\n';
+      result += bname;
+      if (!pred.empty()) { result += ' '; result += pred; }
+    }
+    if ((int)result.size() + 1 > stride) { status[b] = 1; continue; }
+    memcpy(row, result.c_str(), result.size() + 1);
   }
 }
 

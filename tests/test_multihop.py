@@ -272,15 +272,44 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
         else:
             assert cached_qs[b] == ""
 
-    # cache populated and keyed on the index object
-    key, runs = engine._mh_doc_runs
-    assert key is engine.index and len(runs) > 0
-    # every cached entry matches a fresh extraction
-    for ii, entry in list(runs.items())[:10]:
-        text = engine.index.corpus.docs[ii].get("text", "")
-        assert entry == doc_bridge_runs(text, titles)
+    # a cache is populated and keyed on the index object: the native
+    # bridge when available, else the Python per-doc runs cache
+    nb_cached = getattr(engine, "_mh_native_bridge", None)
+    if nb_cached is not None and nb_cached[1].available:
+        assert nb_cached[0] is engine.index
+    else:
+        key, runs = engine._mh_doc_runs
+        assert key is engine.index and len(runs) > 0
+        # every cached entry matches a fresh extraction
+        for ii, entry in list(runs.items())[:10]:
+            text = engine.index.corpus.docs[ii].get("text", "")
+            assert entry == doc_bridge_runs(text, titles)
 
-    # swapping the index invalidates: stale cache must not survive
+    # the PYTHON cache path still populates when the native path is
+    # unavailable (forced fallback)
+    import a_modular_rag_framework_tpu.native.binding as _nbmod
+
+    class _Dud:
+        def __init__(self, *a, **k):
+            pass
+        available = False
+    orig_nb = _nbmod.NativeBridge
+    _nbmod.NativeBridge = _Dud
+    engine._mh_doc_runs = None
+    engine._mh_native_bridge = None
+    try:
+        _prep_and_dispatch_hop2(
+            engine, qs, r1, top_k=10, hop1_inspect=20,
+            max_bridge_entities=4, graph_window=None, trace_id="")
+        key, runs = engine._mh_doc_runs
+        assert key is engine.index and len(runs) > 0
+        for ii, entry in list(runs.items())[:10]:
+            text = engine.index.corpus.docs[ii].get("text", "")
+            assert entry == doc_bridge_runs(text, titles)
+    finally:
+        _nbmod.NativeBridge = orig_nb
+
+    # swapping the index invalidates: stale caches must not survive
     old_index = engine.index
 
     class _Swap:  # same attributes, different identity
@@ -291,7 +320,7 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
         _prep_and_dispatch_hop2(
             engine, qs, r1, top_k=10, hop1_inspect=20,
             max_bridge_entities=4, graph_window=None, trace_id="")
-        assert engine._mh_doc_runs[0] is engine.index
-        assert engine._mh_doc_runs[0] is not old_index
+        assert engine._mh_native_bridge[0] is engine.index
+        assert engine._mh_native_bridge[0] is not old_index
     finally:
         engine.index = old_index

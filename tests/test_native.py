@@ -117,3 +117,63 @@ def test_native_unicode_lowercase_parity():
     got = bm25_build_native(texts)
     ref = Bm25DeviceIndex.build_python(texts)
     assert set(got["vocab"]) == set(ref.vocab)
+
+
+def test_native_bridge_matches_python_hop2():
+    """NativeBridge's hop-2 query construction must be string-identical to
+    the Python path (bridge_entities + hop2_queries_for) on simple texts,
+    and flag non-simple inputs for fallback instead of approximating."""
+    import numpy as np
+    import pytest
+
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        _QUESTION_WORDS,
+        bridge_entities,
+        doc_bridge_runs,
+        hop2_queries_for,
+    )
+    from a_modular_rag_framework_tpu.native.binding import NativeBridge
+
+    docs = [
+        {"title": "Alden Kelholan", "text": "Alden Kelholan was born in Dunmore."},
+        {"title": "Sage Silverton", "text": "Sage Silverton worked with Alden Kelholan on the archive."},
+        {"title": "Dunmore", "text": "Dunmore is a town. Sage Silverton visited it."},
+        {"title": "Ribbon Award", "text": "The Ribbon Award honored Sage Silverton and Mira Tull."},
+        {"title": "Mira Tull", "text": "Later in life Mira Tull retired near Sage Silverton."},
+        {"title": "José Čapek", "text": "José Čapek met Sage Silverton."},  # non-simple
+        {"title": "O'Hara", "text": "O'Hara's journal mentions Sage Silverton."},  # quote
+    ]
+    nb = NativeBridge(docs, _QUESTION_WORDS)
+    if not nb.available:
+        pytest.skip("native lib unavailable")
+
+    titles = {d["title"] for d in docs}
+    queries = [
+        "In which city was the collaborator of Sage Silverton born?",
+        "Who worked with Sage Silverton?",
+        "What award did Sage Silverton win?",
+        "no capitals here at all",
+        "Which town did Sage Silverton visit?",
+    ]
+    # rows 0-4 are simple; query 0 inspects them all
+    ids = np.array([[1, 0, 2, 3, 4]] * len(queries), dtype=np.int32)
+    got = nb.hop2_batch(queries, ids)
+    assert got is not None
+    for b, q in enumerate(queries):
+        texts = [docs[i]["text"] for i in ids[b] if i >= 0]
+        runs = [doc_bridge_runs(t, titles) for t in texts]
+        bridges = bridge_entities(q, texts, max_entities=4,
+                                  known_titles=titles, text_runs=runs)
+        want = hop2_queries_for(q, bridges) if bridges else []
+        assert got[b] == want, (q, got[b], want)
+
+    # queries/docs needing Python: non-simple doc inspected -> None flag
+    ids2 = np.array([[5, 1, 0, -1, -1]], dtype=np.int32)
+    got2 = nb.hop2_batch(["Who met Sage Silverton?"], ids2)
+    assert got2[0] is None
+    ids3 = np.array([[6, 1, -1, -1, -1]], dtype=np.int32)
+    got3 = nb.hop2_batch(["Who mentions Sage Silverton?"], ids3)
+    assert got3[0] is None
+    # non-simple QUERY -> None flag
+    got4 = nb.hop2_batch(["Où was José born?"], np.array([[0, 1, -1, -1, -1]], dtype=np.int32))
+    assert got4[0] is None
