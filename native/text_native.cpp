@@ -536,8 +536,8 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
     std::vector<int> order((size_t)cand_order.size());
     for (size_t i2 = 0; i2 < order.size(); ++i2) order[i2] = (int)i2;
     std::stable_sort(order.begin(), order.end(), [&](int a2, int b2) {
-      const Cand& ca = counts[*cand_order[a2]];
-      const Cand& cb = counts[*cand_order[b2]];
+      const Cand& ca = counts.at(*cand_order[a2]);
+      const Cand& cb = counts.at(*cand_order[b2]);
       if (ca.count != cb.count) return ca.count > cb.count;
       return ca.first < cb.first;
     });
