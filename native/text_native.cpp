@@ -463,7 +463,7 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
                        int max_variants, char* out, int stride,
                        int8_t* status) {
   auto* h = static_cast<BridgeHandle*>(hptr);
-  std::vector<std::string> q_ents, q_toks_v, ent_toks_v;
+  std::vector<std::string> q_ents;
   std::vector<std::string> raw_runs, toks;
   std::unordered_set<std::string> q_tokens, ent_tokens;
   struct Cand { int count; int first; int order; const std::string* text; };
