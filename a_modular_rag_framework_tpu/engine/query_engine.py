@@ -455,6 +455,12 @@ class TPUQueryEngine:
             cfg.graph_impl == "compact"
             or (cfg.graph_impl == "auto" and B * n * 4 > 256 << 20)
         )
+        if cfg.dense_impl not in ("auto", "pool", "matmul"):
+            # a typo must not silently fall back to the pool formulation —
+            # pool and matmul agree to f32 tolerance, so there would be no
+            # behavioral signal that the requested throughput mode is off
+            raise ValueError(f"unknown dense_impl {cfg.dense_impl!r} "
+                             "(expected auto | pool | matmul)")
         if cfg.dense_impl == "matmul" and use_compact_graph:
             # compact mode exists precisely to avoid [B, N] buffers; a
             # [4096, 5.17M] f32 dense-score matrix is an 84GB OOM

@@ -62,8 +62,11 @@ def _load_embeddings(path: Path, dtype: str, mmap: bool) -> np.ndarray:
     return arr
 
 
-@dataclass
-class PackedIndex:
+@dataclass(eq=False)  # identity eq/hash: every cache in the system keys
+class PackedIndex:     # on "is this the same index OBJECT" (engine jit
+    # cache invalidation, the native bridge WeakKeyDictionary); field-wise
+    # equality over multi-GB arrays is never wanted and made the class
+    # unhashable.
     """Loaded packed index. Arrays are host numpy (possibly memory-mapped);
     `device_arrays` produces the device-resident views used by the engine."""
 

@@ -238,12 +238,19 @@ def select_evidence_for_steps(
     # life ... retired"), not an answer span or an entity — counting it
     # gave biography filler a spurious slot bonus that outscored the true
     # collaboration sentence by 0.003 and poisoned the carry (the two
-    # plain-corpus twin misses). Multi-word runs keep their status
-    # anywhere, including sentence-initial names ("Alden Kelholan was
-    # born in ...").
-    text_runs = [[(r, set(_stems(tokenize(r)))) for r in capitalized_runs(t)
-                  if " " in r or not t.startswith(r)]
-                 for t in texts]
+    # plain-corpus twin misses). Only the TEXT-INITIAL occurrence is
+    # dropped (runs come back in positional order, so that is the first
+    # entry): a recurring entity that happens to open the text keeps its
+    # later mid-sentence mentions ("Dunmore is a town ... visited
+    # Dunmore."). Multi-word runs keep their status anywhere, including
+    # sentence-initial names ("Alden Kelholan was born in ...").
+    def _runs_with_stems(t: str):
+        rs = capitalized_runs(t)
+        if rs and " " not in rs[0] and t.startswith(rs[0]):
+            rs = rs[1:]
+        return [(r, set(_stems(tokenize(r)))) for r in rs]
+
+    text_runs = [_runs_with_stems(t) for t in texts]
 
     carry: set = set()  # bridge-entity tokens discovered in earlier steps
     carry_sources: Dict[str, set] = {}  # carry token -> hit idxs that added it

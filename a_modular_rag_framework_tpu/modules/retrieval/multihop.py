@@ -198,6 +198,53 @@ def iterative_retrieve_pipelined(
         yield flush2()
 
 
+# one NativeBridge per INDEX (not per engine: the bench builds several
+# engines over one index, and a duck-typed engine without attribute
+# assignment must not re-register the corpus every batch). WeakKey so a
+# dropped index releases the native copy. None entry = gated off.
+_NATIVE_BRIDGES: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+# registration copies the corpus text into native memory; above this
+# total, or when the corpus is mostly non-simple (every query would take
+# the Python fallback anyway), stay on the Python path
+_NATIVE_BRIDGE_MAX_BYTES = 1 << 30
+_NATIVE_BRIDGE_SIMPLE_SAMPLE = 512
+_NATIVE_BRIDGE_MIN_SIMPLE = 0.5
+
+
+def _native_bridge_for(index, docs):
+    global _NATIVE_BRIDGES
+    if _NATIVE_BRIDGES is None:
+        import weakref
+
+        _NATIVE_BRIDGES = weakref.WeakKeyDictionary()
+    try:
+        if index in _NATIVE_BRIDGES:
+            return _NATIVE_BRIDGES[index]
+    except TypeError:  # unhashable/unweakrefable index: no caching, no copy
+        return None
+
+    nb = None
+    sample = docs[:_NATIVE_BRIDGE_SIMPLE_SAMPLE]
+    n_simple = sum(
+        1 for d in sample
+        if (t := (d.get("text") or "")).isascii()
+        and "'" not in t and "-" not in t)
+    total_bytes = sum(len(d.get("text") or "") for d in docs)
+    if (total_bytes <= _NATIVE_BRIDGE_MAX_BYTES and sample
+            and n_simple >= _NATIVE_BRIDGE_MIN_SIMPLE * len(sample)):
+        from ...native.binding import NativeBridge
+
+        cand = NativeBridge(docs, _QUESTION_WORDS)
+        if cand.available:
+            nb = cand
+    try:
+        _NATIVE_BRIDGES[index] = nb
+    except TypeError:
+        pass
+    return nb
+
+
 def _prep_and_dispatch_hop2(
     engine,
     queries: Sequence[str],
@@ -248,17 +295,8 @@ def _prep_and_dispatch_hop2(
     # (non-ASCII / quote / hyphen texts, where byte-level caps detection
     # would diverge from Python's Unicode tables)
     native_out = None
-    bcached = getattr(engine, "_mh_native_bridge", None)
-    if bcached is not None and bcached[0] is engine.index:
-        nb = bcached[1]
-    else:
-        from ...native.binding import NativeBridge
-        nb = NativeBridge(docs, _QUESTION_WORDS)
-        try:
-            engine._mh_native_bridge = (engine.index, nb)
-        except AttributeError:
-            pass
-    if nb.available:
+    nb = _native_bridge_for(engine.index, docs)
+    if nb is not None:
         native_out = nb.hop2_batch(list(queries), ids1[:, :hop1_inspect],
                                    max_entities=max_bridge_entities,
                                    max_variants=3)

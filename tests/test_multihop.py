@@ -273,10 +273,12 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
             assert cached_qs[b] == ""
 
     # a cache is populated and keyed on the index object: the native
-    # bridge when available, else the Python per-doc runs cache
-    nb_cached = getattr(engine, "_mh_native_bridge", None)
-    if nb_cached is not None and nb_cached[1].available:
-        assert nb_cached[0] is engine.index
+    # bridge (module-level weak dict, shared by engines over one index)
+    # when available, else the Python per-doc runs cache
+    import a_modular_rag_framework_tpu.modules.retrieval.multihop as _mh
+    nb_cached = (_mh._NATIVE_BRIDGES or {}).get(engine.index)
+    if nb_cached is not None:
+        assert nb_cached.available
     else:
         key, runs = engine._mh_doc_runs
         assert key is engine.index and len(runs) > 0
@@ -286,17 +288,12 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
             assert entry == doc_bridge_runs(text, titles)
 
     # the PYTHON cache path still populates when the native path is
-    # unavailable (forced fallback)
-    import a_modular_rag_framework_tpu.native.binding as _nbmod
-
-    class _Dud:
-        def __init__(self, *a, **k):
-            pass
-        available = False
-    orig_nb = _nbmod.NativeBridge
-    _nbmod.NativeBridge = _Dud
+    # unavailable (forced fallback: gate every index off)
+    orig_bridges = _mh._NATIVE_BRIDGES
+    import weakref
+    _mh._NATIVE_BRIDGES = weakref.WeakKeyDictionary()
+    _mh._NATIVE_BRIDGES[engine.index] = None  # gated
     engine._mh_doc_runs = None
-    engine._mh_native_bridge = None
     try:
         _prep_and_dispatch_hop2(
             engine, qs, r1, top_k=10, hop1_inspect=20,
@@ -307,9 +304,10 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
             text = engine.index.corpus.docs[ii].get("text", "")
             assert entry == doc_bridge_runs(text, titles)
     finally:
-        _nbmod.NativeBridge = orig_nb
+        _mh._NATIVE_BRIDGES = orig_bridges
 
-    # swapping the index invalidates: stale caches must not survive
+    # swapping the index invalidates: a different index object gets its
+    # own bridge entry; the stale Python cache must not survive either
     old_index = engine.index
 
     class _Swap:  # same attributes, different identity
@@ -320,7 +318,7 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
         _prep_and_dispatch_hop2(
             engine, qs, r1, top_k=10, hop1_inspect=20,
             max_bridge_entities=4, graph_window=None, trace_id="")
-        assert engine._mh_native_bridge[0] is engine.index
-        assert engine._mh_native_bridge[0] is not old_index
+        assert engine.index in _mh._NATIVE_BRIDGES
+        assert old_index is not engine.index
     finally:
         engine.index = old_index
