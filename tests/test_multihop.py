@@ -322,3 +322,41 @@ def test_doc_bridge_runs_cache_and_invalidation(setup):
         assert old_index is not engine.index
     finally:
         engine.index = old_index
+
+
+def test_native_bridge_gating(setup):
+    """_native_bridge_for must gate off oversized or mostly-non-simple
+    corpora (registration copies text into native memory) and cache one
+    bridge per index object across engines."""
+    import a_modular_rag_framework_tpu.modules.retrieval.multihop as _mh
+
+    engine, _samples = setup
+    docs = engine.index.corpus.docs
+    # fresh cache for the assertions below
+    import weakref
+    orig = _mh._NATIVE_BRIDGES
+    _mh._NATIVE_BRIDGES = weakref.WeakKeyDictionary()
+    try:
+        nb1 = _mh._native_bridge_for(engine.index, docs)
+        nb2 = _mh._native_bridge_for(engine.index, docs)
+        if nb1 is not None:  # native toolchain present
+            assert nb1 is nb2  # one copy per index, shared across engines
+
+        # size gate
+        old_cap = _mh._NATIVE_BRIDGE_MAX_BYTES
+        _mh._NATIVE_BRIDGE_MAX_BYTES = 10
+        _mh._NATIVE_BRIDGES = weakref.WeakKeyDictionary()
+        try:
+            assert _mh._native_bridge_for(engine.index, docs) is None
+        finally:
+            _mh._NATIVE_BRIDGE_MAX_BYTES = old_cap
+
+        # usefulness gate: a corpus of non-simple texts stays on Python
+        class _FakeIndex:
+            pass
+        weird = [{"title": "X", "text": "José Čapek's notes — volume %d" % i}
+                 for i in range(32)]
+        _mh._NATIVE_BRIDGES = weakref.WeakKeyDictionary()
+        assert _mh._native_bridge_for(_FakeIndex(), weird) is None
+    finally:
+        _mh._NATIVE_BRIDGES = orig
