@@ -102,10 +102,25 @@ def make_engine(idx, batch, **overrides):
     # Rankings can differ from the pool formulation at f32 near-ties
     # (different accumulation order) — recall below is measured on this
     # exact engine, not assumed.
+    #
+    # Fusion weights 0.15/0.70/0.15 (text/graph/dense): the round-3
+    # channel anatomy showed every single-pass hop-2 miss was IN all
+    # three top-200 pools — the graph channel ranked the missing gold at
+    # median rank 5 while text/dense ranked it ~17-19, and the
+    # reference-parity 0.4/0.2/0.4 weighting buried it below the top-10.
+    # Re-weighting toward the discriminative channel was selected on a
+    # HELD-OUT tuning corpus (collide seed=1: 0.62 -> 0.996) and
+    # validated across five families it was not tuned on: headline 13k
+    # 0.891 -> 0.996, 100k-collide 0.50 -> 0.992, variety 0.62 -> 0.965,
+    # heldout-templates 0.51 -> 1.00, iterative recall unchanged (1.0).
+    # Tradeoff: single-pass MRR dips ~0.03 (graph hubs outrank the exact
+    # gold at rank 1); the bench records both. EngineConfig's default
+    # stays at the reference-parity 0.4/0.2/0.4.
     cfg = dict(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                bm25_posting_cap=1024, batch_buckets=(batch,),
                query_df_ratio_max=0.05, bm25_term_topm=16,
-               graph_wave_dtype="bfloat16", dense_impl="matmul")
+               graph_wave_dtype="bfloat16", dense_impl="matmul",
+               alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15)
     cfg.update(overrides)
     return TPUQueryEngine(idx, config=EngineConfig(**cfg))
 
@@ -314,7 +329,9 @@ def serving_block(idx, questions) -> dict:
         config=EngineConfig(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                             bm25_posting_cap=1024, batch_buckets=(64, 256),
                             query_df_ratio_max=0.05, bm25_term_topm=32,
-                            graph_wave_dtype="bfloat16"),
+                            graph_wave_dtype="bfloat16",
+                            alpha_text=0.15, alpha_graph=0.70,
+                            alpha_dense=0.15),
     )
     eng.query_batch(questions[:256])  # compile/warm the 256 bucket
     eng.query_batch(questions[:64])   # and the 64 bucket
