@@ -46,7 +46,7 @@ from ..index.packed import PackedIndex
 from ..models.hash_embed import phrase_augment, HashEmbedEncoder, tokenize
 from ..utils.textspan import capitalized_runs
 from ..ops.bm25 import bm25_rescore_pool, bm25_scores_batched, bm25_topk_sorted
-from ..ops.fusion import fuse_channels, fuse_pools_compact
+from ..ops.fusion import fuse_channels, fuse_pools_compact, reorder_hits
 from ..ops.graph import (expand_frontier, expand_frontier_weighted,
                          expand_frontier_weighted_batched,
                          expand_frontier_weighted_capped,
@@ -71,6 +71,15 @@ class EngineConfig:
     alpha_text: float = 0.4
     alpha_graph: float = 0.2
     alpha_dense: float = 0.4
+    # two-stage fusion: when set, the final top-k MEMBERSHIP is selected
+    # by the alphas above, then the k hits are re-RANKED by this second
+    # (text, graph, dense) weighting over the same channel norms, and the
+    # reported hit score becomes the ordering score. Round-3 anatomy:
+    # selection 0.15/0.70/0.15 + ordering 0.4/0.2/0.4 gives the graph-
+    # heavy weights' recall@10 (0.99 at scale vs 0.5) AND the parity
+    # weights' MRR on every measured corpus family (docs/ROUND3.md).
+    # None = single-stage fusion (reference parity).
+    order_alphas: Optional[Tuple[float, float, float]] = None
     # auto-seed mode: propagate BM25 seed strength (max * decay) instead of
     # uniform decay — uninformative with ~64 equal seeds otherwise
     graph_seed_weighted: bool = True
@@ -470,6 +479,9 @@ class TPUQueryEngine:
                 "dense_impl='pool' (or 'auto') at corpus scale")
 
         def _pack_outputs(top_s, top_i, norms_at, counts):
+            if cfg.order_alphas is not None:
+                top_s, top_i, norms_at = reorder_hits(
+                    top_s, top_i, norms_at, cfg.order_alphas)
             # two output arrays instead of four: each device->host transfer
             # is a tunnel round-trip (~25ms) under the remote TPU link
             f32_pack = jnp.concatenate(

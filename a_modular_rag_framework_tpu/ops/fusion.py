@@ -24,6 +24,37 @@ import jax.numpy as jnp
 NEG_INF = -1e30  # plain float: jnp scalars can't be captured by pallas kernels
 
 
+def reorder_hits(
+    top_s: jax.Array,     # [B, k] f32 fused selection scores
+    top_i: jax.Array,     # [B, k] i32 global ids (-1 pad)
+    norms_at: jax.Array,  # [B, 3, k] f32 per-channel norms at the hits
+    order_alphas: Tuple[float, float, float],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Re-rank an already-selected top-k by a second fusion weighting.
+
+    Two-stage fusion: the top-k MEMBERSHIP comes from the engine's
+    selection alphas (recall-optimal), the final ORDER from
+    ``order_alphas`` (precision/MRR-optimal). Measured round 3: selecting
+    with 0.15/0.70/0.15 and ordering with the reference-parity
+    0.4/0.2/0.4 gives the tuned weights' recall@10 AND the parity
+    weights' MRR on every corpus family (see docs/ROUND3.md).
+
+    Returns the permuted (top_s, top_i, norms_at), where ``top_s`` becomes
+    the ordering score (hits must rank by their reported score); padding
+    rows (id -1) sink to the end. One stable variadic sort of k elements —
+    negligible next to the selection top-k.
+    """
+    ow = jnp.asarray(order_alphas, dtype=jnp.float32)
+    order_s = jnp.einsum("bck,c->bk", norms_at, ow)
+    ok = top_i >= 0
+    key = jnp.where(ok, -order_s, -jnp.float32(NEG_INF))
+    _, order_out, ids_out, nt, ng, nd = jax.lax.sort(
+        (key, jnp.where(ok, order_s, 0.0), top_i,
+         norms_at[:, 0, :], norms_at[:, 1, :], norms_at[:, 2, :]),
+        dimension=1, num_keys=1)
+    return order_out, ids_out, jnp.stack([nt, ng, nd], axis=1)
+
+
 def minmax_normalize(scores: jax.Array, present: jax.Array) -> jax.Array:
     """Min-max over present entries; all-0 when the pool is degenerate."""
     big = jnp.float32(1e30)

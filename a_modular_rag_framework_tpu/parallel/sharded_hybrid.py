@@ -61,7 +61,7 @@ from ..engine.query_engine import EngineConfig, QueryResult
 from ..index.packed import PackedIndex
 from ..models.hash_embed import HashEmbedEncoder
 from ..ops.bm25 import bm25_rescore_pool, bm25_topk_sorted
-from ..ops.fusion import fuse_pools_compact
+from ..ops.fusion import fuse_pools_compact, reorder_hits
 from ..ops.graph import (expand_frontier_weighted_compact_core,
                          hop_decay_table)
 from .mesh import build_mesh
@@ -373,6 +373,9 @@ class ShardedHybridEngine:
                     pool_s, pool_i, pool_valid, dense_pool, t_graph_raw,
                     g_pool_s, g_pool_i, g_valid, alphas=alphas, k=k, n=n,
                 )
+                if cfg.order_alphas is not None:
+                    top_s, top_i, norms_at = reorder_hits(
+                        top_s, top_i, norms_at, cfg.order_alphas)
                 f32_pack = jnp.concatenate(
                     [top_s, norms_at.reshape(B, -1)], axis=1)
                 i32_pack = jnp.concatenate(
@@ -436,6 +439,9 @@ class ShardedHybridEngine:
                 pool_s, pool_i, pool_valid, dense_pool, t_graph_raw,
                 g_pool_s, g_pool_i, g_valid, alphas=alphas, k=k, n=n,
             )
+            if cfg.order_alphas is not None:
+                top_s, top_i, norms_at = reorder_hits(
+                    top_s, top_i, norms_at, cfg.order_alphas)
             f32_pack = jnp.concatenate([top_s, norms_at.reshape(B, -1)],
                                        axis=1)
             i32_pack = jnp.concatenate(
@@ -634,14 +640,22 @@ def dryrun_check(mesh: Mesh) -> None:
 
     corpus, queries = _tie_free_corpus()
     idx = build_packed_index(corpus, embed_dim=32, embed_dtype="float32")
-    for graph_impl, wave_dtype in (("dense", "float32"),
-                                   ("compact", "float32"),
-                                   ("dense", "bfloat16")):
-        cfg = EngineConfig(top_k=10, pool_k=64, graph_window=2,
-                           bm25_term_topm=4096, batch_buckets=(8,),
-                           graph_pool_exact=True, graph_impl=graph_impl,
-                           graph_compact_cap=64,
-                           graph_wave_dtype=wave_dtype)
+    # the 4th case runs two-stage fusion (graph-heavy selection +
+    # parity-ordered re-rank) — the bench's production configuration —
+    # through the same bit-for-bit contract
+    for graph_impl, wave_dtype, order in (("dense", "float32", None),
+                                          ("compact", "float32", None),
+                                          ("dense", "bfloat16", None),
+                                          ("compact", "float32",
+                                           (0.4, 0.2, 0.4))):
+        kw = dict(top_k=10, pool_k=64, graph_window=2,
+                  bm25_term_topm=4096, batch_buckets=(8,),
+                  graph_pool_exact=True, graph_impl=graph_impl,
+                  graph_compact_cap=64, graph_wave_dtype=wave_dtype)
+        if order:
+            kw.update(alpha_text=0.15, alpha_graph=0.7, alpha_dense=0.15,
+                      order_alphas=order)
+        cfg = EngineConfig(**kw)
         single = TPUQueryEngine(idx, config=cfg)
         sharded = ShardedHybridEngine(idx, mesh=mesh, config=cfg)
 

@@ -113,14 +113,17 @@ def make_engine(idx, batch, **overrides):
     # validated across five families it was not tuned on: headline 13k
     # 0.891 -> 0.996, 100k-collide 0.50 -> 0.992, variety 0.62 -> 0.965,
     # heldout-templates 0.51 -> 1.00, iterative recall unchanged (1.0).
-    # Tradeoff: single-pass MRR dips ~0.03 (graph hubs outrank the exact
-    # gold at rank 1); the bench records both. EngineConfig's default
-    # stays at the reference-parity 0.4/0.2/0.4.
+    # order_alphas restores the parity weights' MRR on top: membership is
+    # selected graph-heavy (recall-optimal), then the k hits re-rank by
+    # 0.4/0.2/0.4 (precision-optimal) — measured best-of-both on every
+    # family (recall 0.996/0.992, MRR back to 0.36/0.40/0.49).
+    # EngineConfig's default stays single-stage reference parity.
     cfg = dict(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                bm25_posting_cap=1024, batch_buckets=(batch,),
                query_df_ratio_max=0.05, bm25_term_topm=16,
                graph_wave_dtype="bfloat16", dense_impl="matmul",
-               alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15)
+               alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15,
+               order_alphas=(0.4, 0.2, 0.4))
     cfg.update(overrides)
     return TPUQueryEngine(idx, config=EngineConfig(**cfg))
 
@@ -331,7 +334,8 @@ def serving_block(idx, questions) -> dict:
                             query_df_ratio_max=0.05, bm25_term_topm=32,
                             graph_wave_dtype="bfloat16",
                             alpha_text=0.15, alpha_graph=0.70,
-                            alpha_dense=0.15),
+                            alpha_dense=0.15,
+                            order_alphas=(0.4, 0.2, 0.4)),
     )
     eng.query_batch(questions[:256])  # compile/warm the 256 bucket
     eng.query_batch(questions[:64])   # and the 64 bucket

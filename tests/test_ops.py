@@ -492,3 +492,69 @@ def test_dense_topk_pallas_shape_fuzz(rng):
         np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
         np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_reorder_hits_two_stage_fusion():
+    """order_alphas re-ranks a selected top-k by a second weighting: the id
+    SET is preserved, order follows the weighted channel norms, the
+    reported score becomes the ordering score, pads sink to the end."""
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.fusion import reorder_hits
+
+    top_s = jnp.asarray([[0.9, 0.8, 0.7, 0.0]])
+    top_i = jnp.asarray([[5, 3, 9, -1]], dtype=jnp.int32)
+    # norms [B, 3, k]: text / graph / dense at each hit
+    norms = jnp.asarray([[[0.1, 0.9, 0.5, 0.0],
+                          [0.9, 0.1, 0.5, 0.0],
+                          [0.1, 0.9, 0.5, 0.0]]])
+    s2, i2, n2 = reorder_hits(top_s, top_i, norms, (0.4, 0.2, 0.4))
+    s2, i2, n2 = np.asarray(s2), np.asarray(i2), np.asarray(n2)
+    # ordering scores: id5 = .4*.1+.2*.9+.4*.1 = 0.26; id3 = .4*.9+.2*.1+.4*.9 = 0.74
+    # id9 = 0.5 -> order [3, 9, 5], pad last
+    assert i2[0].tolist() == [3, 9, 5, -1]
+    assert s2[0][:3] == pytest.approx([0.74, 0.5, 0.26], abs=1e-6)
+    # norms ride the permutation
+    assert n2[0, 0].tolist() == pytest.approx([0.9, 0.5, 0.1, 0.0], abs=1e-6)
+
+
+def test_engine_order_alphas_same_set_parity_order():
+    """An engine with two-stage fusion returns the same hit SET as the
+    single-stage engine with the selection alphas, ordered by the ordering
+    alphas' fused score."""
+    from a_modular_rag_framework_tpu.core.dataset_loader import (
+        SyntheticHotpotQALoader,
+    )
+    from a_modular_rag_framework_tpu.engine.query_engine import (
+        EngineConfig,
+        TPUQueryEngine,
+    )
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+    samples = SyntheticHotpotQALoader({"count": 24, "seed": 3,
+                                       "unique_entities": True}).load()
+    idx = build_packed_index(SentenceCorpus.from_hotpotqa(samples),
+                             embed_dim=32, embed_dtype="float32")
+    base = dict(top_k=10, pool_k=64, graph_window=2, bm25_term_topm=4096,
+                batch_buckets=(32,), alpha_text=0.15, alpha_graph=0.7,
+                alpha_dense=0.15, graph_wave_dtype="float32")
+    qs = [s["question"] for s in samples]
+    plain = TPUQueryEngine(idx, config=EngineConfig(**base))
+    two = TPUQueryEngine(idx, config=EngineConfig(
+        order_alphas=(0.4, 0.2, 0.4), **base))
+    r1, r2 = plain.query_batch(qs), two.query_batch(qs)
+    i1, i2 = np.asarray(r1.hits.ids), np.asarray(r2.hits.ids)
+    s2 = np.asarray(r2.hits.scores)
+    for b in range(len(qs)):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+        live = s2[b][i2[b] >= 0]
+        assert (np.diff(live) <= 1e-6).all()  # ranked by reported score
+        # the ordering score is the 0.4/0.2/0.4 weighted norm sum
+        n2 = np.asarray(r2.channel_norms)[:, b, :]  # [3, k]
+        expect = 0.4 * n2[0] + 0.2 * n2[1] + 0.4 * n2[2]
+        ok = i2[b] >= 0
+        assert s2[b][ok] == pytest.approx(expect[ok], abs=1e-5)
+    # sharded bit-parity with order_alphas is asserted on the tie-free
+    # corpus by parallel.sharded_hybrid.dryrun_check (4th case); template
+    # corpora like this one carry exact-tie groups where the two selection
+    # orders legitimately differ.
