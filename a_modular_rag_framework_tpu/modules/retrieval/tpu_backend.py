@@ -78,6 +78,7 @@ class TPUHybridRetrievalBackend:
         alpha_text: float = 0.4,
         alpha_graph: float = 0.2,
         alpha_dense: float = 0.4,
+        order_alphas: Any = None,
         bm25_pool_k: int = 200,
         default_top_k: int = 20,
         qe_lines: int = 3,
@@ -160,6 +161,8 @@ class TPUHybridRetrievalBackend:
                 alpha_text=alpha_text,
                 alpha_graph=alpha_graph,
                 alpha_dense=alpha_dense,
+                order_alphas=(tuple(order_alphas) if order_alphas
+                              else None),
                 include_entity_graph=include_entity_graph,
                 graph_seed_weighted=graph_seed_weighted,
                 bm25_impl=bm25_impl,
@@ -307,7 +310,8 @@ class TPUHybridRetrievalBackend:
                 top_k=base.top_k, pool_k=min(base.pool_k, idx.n_docs),
                 graph_window=base.graph_window,
                 alpha_text=base.alpha_text, alpha_graph=base.alpha_graph,
-                alpha_dense=base.alpha_dense, batch_buckets=(1, 8),
+                alpha_dense=base.alpha_dense,
+                order_alphas=base.order_alphas, batch_buckets=(1, 8),
             ),
             sink=self.sink,
         )

@@ -159,3 +159,34 @@ def test_dcn_axes_compose_outermost():
                                   np.asarray(r2.hits.ids))
     np.testing.assert_allclose(np.asarray(r1.hits.scores),
                                np.asarray(r2.hits.scores), atol=1e-5)
+
+
+def test_order_alphas_settings_reach_engine_config(tmp_path):
+    """The two-stage fusion knobs flow impl_kwargs -> backend ->
+    EngineConfig (config-drivable, as documented in settings.yaml)."""
+    from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
+    from a_modular_rag_framework_tpu.modules.retrieval.flow import RetrievalAgentFlow
+
+    samples = SyntheticHotpotQALoader({"count": 6, "seed": 3,
+                                       "unique_entities": True}).load()
+    docs_out = tmp_path / "docs.jsonl"
+    ingest(samples, graph_root=tmp_path / "graph", docs_out=docs_out,
+           embed_dim=32, embed_dtype="float32")
+    settings = {
+        "index": {"embed_dim": 32, "dtype": "float32"},
+        "modules": {"retrieval": {
+            "type": ("a_modular_rag_framework_tpu.modules.retrieval."
+                     "flow:RetrievalAgentFlow"),
+            "impl": ("a_modular_rag_framework_tpu.modules.retrieval."
+                     "tpu_backend:TPUHybridRetrievalBackend"),
+            "impl_kwargs": {"index_path": str(docs_out),
+                            "graph_root": str(tmp_path / "graph"),
+                            "alpha_text": 0.15, "alpha_graph": 0.7,
+                            "alpha_dense": 0.15,
+                            "order_alphas": [0.4, 0.2, 0.4]},
+        }},
+    }
+    flow = RetrievalAgentFlow.from_settings(settings)
+    cfg = flow.backend.engine.config
+    assert cfg.alpha_graph == 0.7
+    assert cfg.order_alphas == (0.4, 0.2, 0.4)
