@@ -22,7 +22,7 @@ from typing import Any, Dict, Iterable, List, Optional
 
 import numpy as np
 
-from ..models.hash_embed import HashEmbedEncoder, phrase_augment
+from ..models.hash_embed import HashEmbedEncoder
 from ..utils.entity_linker import simple_ner
 from .corpus import SentenceCorpus
 from .packed import PackedIndex
@@ -30,7 +30,8 @@ from ..ops.bm25 import Bm25DeviceIndex
 
 
 def build_sentence_graph(
-    corpus: SentenceCorpus, max_degree: int = 32, entity_chain_cap: int = 64
+    corpus: SentenceCorpus, max_degree: int = 32, entity_chain_cap: int = 64,
+    use_native: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Two sentence-adjacency channel tables, each [N, deg] int32 (-1 pad).
 
@@ -64,8 +65,33 @@ def build_sentence_graph(
     by_title_sid = corpus.row_by_title_sid()
     for row, d in enumerate(corpus.docs):
         nxt = by_title_sid.get((d.get("title"), (d.get("sent_id") or 0) + 1))
-        if nxt is not None:
-            add(next_nbrs, next_counts, row, nxt)
+        if nxt is not None and nxt != row:
+            # direct insertion — equivalent to add() on well-formed data:
+            # each row has at most one successor and one predecessor, so a
+            # duplicate is impossible, and add()'s membership scan per call
+            # was ~half the graph stage's wall time at 2.3M rows. The cap
+            # guard stays for corpora with duplicate (title, sent_id) keys
+            # (several rows can then resolve to the same successor).
+            ca = int(next_counts[row])
+            if ca < 2 and (ca == 0 or int(next_nbrs[row, 0]) != nxt):
+                next_nbrs[row, ca] = nxt
+                next_counts[row] = ca + 1
+            cb = int(next_counts[nxt])
+            if cb < 2 and (cb == 0 or int(next_nbrs[nxt, 0]) != row):
+                next_nbrs[nxt, cb] = row
+                next_counts[nxt] = cb + 1
+
+    if use_native:
+        try:
+            from ..native import entity_graph_native
+        except ImportError:  # pragma: no cover - toolchain-less environments
+            entity_graph_native = None
+        if entity_graph_native is not None:
+            ent_nbrs = entity_graph_native(
+                [d.get("text", "") for d in corpus.docs],
+                max_degree=max_degree, entity_chain_cap=entity_chain_cap)
+            if ent_nbrs is not None:
+                return {"next_in_doc": next_nbrs, "entity": ent_nbrs}
 
     ent_nbrs, ent_counts = make(max_degree)
     entity_rows: Dict[str, List[int]] = {}
@@ -74,7 +100,12 @@ def build_sentence_graph(
         # sentences of the document titled B — that's the bridge that makes
         # 2-hop questions reachable (hop 1 finds "A worked with B", hop 2
         # needs B's own document).
-        for ent in set(simple_ner(d.get("text", ""))):
+        # ordered dedup, NOT set(): set iteration follows the randomized
+        # str hash, so two processes could insert entity groups in
+        # different orders and — at degree-saturated rows — pack different
+        # neighbors. First-appearance order makes the build reproducible
+        # (and is what the native C++ builder implements).
+        for ent in dict.fromkeys(simple_ner(d.get("text", ""))):
             lst = entity_rows.setdefault(ent, [])
             if len(lst) < entity_chain_cap:
                 lst.append(row)
@@ -142,9 +173,8 @@ def build_packed_index(
 
     # --- sparse structures (host pass) ---
     t1 = time.time()
-    bm25_texts = ([phrase_augment(t) for t in texts]
-                  if bm25_phrase_tokens else texts)
-    bm25 = Bm25DeviceIndex.build(bm25_texts, k1=bm25_k1, b=bm25_b)
+    bm25 = Bm25DeviceIndex.build(texts, k1=bm25_k1, b=bm25_b,
+                                 phrase_tokens=bm25_phrase_tokens)
     t_bm25 = time.time() - t1
     t2 = time.time()
     graph_tables = build_sentence_graph(corpus, max_degree=graph_max_degree)

@@ -177,5 +177,15 @@ class HashEmbedEncoder:
     def encode_texts(self, texts: List[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
+        try:
+            from ..native import hash_embed_batch_native
+
+            # fused featurize+accumulate+normalize in one C call: no
+            # [B, max_features] intermediates, no per-row bincount loop
+            out = hash_embed_batch_native(texts, self.dim, self.max_features)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
         buckets, signs = self.featurize(texts)
         return self.encode_token_batch(buckets, signs)

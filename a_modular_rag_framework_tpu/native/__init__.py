@@ -1,6 +1,8 @@
 from .binding import (
     bm25_build_native,
+    entity_graph_native,
     featurize_batch_native,
+    hash_embed_batch_native,
     load_native,
     native_available,
     token_counts_native,
@@ -8,7 +10,9 @@ from .binding import (
 
 __all__ = [
     "bm25_build_native",
+    "entity_graph_native",
     "featurize_batch_native",
+    "hash_embed_batch_native",
     "load_native",
     "native_available",
     "token_counts_native",

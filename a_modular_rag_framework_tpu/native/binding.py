@@ -87,6 +87,15 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.vocab_destroy.argtypes = [ctypes.c_void_p]
         lib.vocab_lookup_batch.argtypes = [ctypes.c_void_p, c_char_pp,
                                            ctypes.c_int, ctypes.c_int, i32p]
+        lib.hash_embed_batch.argtypes = [c_char_pp, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int, f32p]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.simple_scan.argtypes = [c_char_pp, ctypes.c_int, i8p]
+        lib.bm25_add_docs_phrase.argtypes = [ctypes.c_void_p, c_char_pp,
+                                             ctypes.c_int, i8p, c_char_pp]
+        lib.entity_graph_build.argtypes = [c_char_pp, ctypes.c_int, i8p,
+                                           c_char_pp, ctypes.c_int,
+                                           ctypes.c_int, i32p]
         _LIB = lib
         return _LIB
 
@@ -107,6 +116,25 @@ def _text_array(texts: List[str]):
     return arr, encoded  # keep `encoded` alive
 
 
+def _text_array_raw(texts: List[str]):
+    """char** over RAW (capitalization-preserving) utf-8 — for the native
+    stages that extract capitalized runs themselves. Only pure-ASCII rows
+    are processed natively (simple_scan gates the rest to Python), so the
+    ASCII-only lower()/isupper() in C++ is exact where it runs."""
+    arr = (ctypes.c_char_p * len(texts))()
+    encoded = [(t or "").encode("utf-8", errors="ignore") for t in texts]
+    for i, e in enumerate(encoded):
+        arr[i] = e
+    return arr, encoded
+
+
+def _simple_status(lib, arr, n) -> np.ndarray:
+    status = np.zeros(n, dtype=np.int8)
+    lib.simple_scan(arr, n,
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return status
+
+
 def featurize_batch_native(
     texts: List[str], dim: int, max_features: int
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -123,6 +151,25 @@ def featurize_batch_native(
         signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return buckets, signs
+
+
+def hash_embed_batch_native(
+    texts: List[str], dim: int, max_features: int
+) -> Optional[np.ndarray]:
+    """Fused featurize + signed-bucket accumulate + L2 normalize: the whole
+    hash-embed host stage in one C call ([B, dim] f32). Numerically equal
+    to encode_token_batch(featurize(texts)) up to float summation order
+    (signs are +-1, so sums are exact small integers; only the norm's
+    rounding can differ in the last ulp)."""
+    lib = load_native()
+    if lib is None or not texts:
+        return None
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    arr, keep = _text_array(texts)
+    lib.hash_embed_batch(arr, n, dim, max_features,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 def token_counts_native(texts: List[str]) -> Optional[np.ndarray]:
@@ -175,9 +222,15 @@ class NativeVocab:
 
 
 def bm25_build_native(
-    texts: List[str], k1: float = 1.5, b: float = 0.75, chunk: int = 65536
+    texts: List[str], k1: float = 1.5, b: float = 0.75, chunk: int = 65536,
+    phrase_tokens: bool = False,
 ) -> Optional[Dict[str, object]]:
-    """Streaming native BM25 build; returns the Bm25DeviceIndex field dict."""
+    """Streaming native BM25 build; returns the Bm25DeviceIndex field dict.
+
+    With ``phrase_tokens=True`` the phrase pseudo-tokens (phrase_augment)
+    are appended in the C++ tokenize loop for simple (pure-ASCII) rows —
+    removing the Python per-text augmentation pre-pass from the build
+    path; non-simple rows are augmented by Python and fed verbatim."""
     lib = load_native()
     if lib is None:
         return None
@@ -185,6 +238,23 @@ def bm25_build_native(
     try:
         for i in range(0, len(texts), chunk):
             part = texts[i : i + chunk]
+            if phrase_tokens:
+                arr, keep = _text_array_raw(part)
+                status = _simple_status(lib, arr, len(part))
+                repl = (ctypes.c_char_p * len(part))()
+                keep_repl = []
+                if status.any():
+                    from ..models.hash_embed import phrase_augment
+                    for j in np.nonzero(status)[0]:
+                        e = phrase_augment(part[int(j)]).lower().encode(
+                            "utf-8", errors="ignore")
+                        keep_repl.append(e)
+                        repl[int(j)] = e
+                lib.bm25_add_docs_phrase(
+                    h, arr, len(part),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    repl)
+                continue
             arr, keep = _text_array(part)
             lib.bm25_add_docs(h, arr, len(part))
         total = int(lib.bm25_finalize(h, k1, b))
@@ -306,3 +376,37 @@ class NativeBridge:
                 self._lib.bridge_destroy(self._handle)
             except Exception:
                 pass
+
+
+def entity_graph_native(
+    texts: List[str], max_degree: int = 32, entity_chain_cap: int = 64,
+    chunk_hint: int = 0,
+) -> Optional[np.ndarray]:
+    """Entity-link adjacency table [n, max_degree] int32 (-1 pad) — the
+    native counterpart of index/builder.py's entity channel. Rows failing
+    the simple-text gate get their entities extracted by Python
+    (utils.entity_linker.simple_ner) and passed through; everything else
+    (run extraction, ordered dedup, chain caps, hub+chain insertion with
+    capped dedup) runs in one C++ pass. Bit-exact with the Python builder
+    (tests/test_native.py)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(texts)
+    arr, keep = _text_array_raw(texts)
+    status = _simple_status(lib, arr, n)
+    repl = (ctypes.c_char_p * n)()
+    keep_repl = []
+    if status.any():
+        from ..utils.entity_linker import simple_ner
+        for j in np.nonzero(status)[0]:
+            e = "\n".join(simple_ner(texts[int(j)] or "")).encode(
+                "utf-8", errors="ignore")
+            keep_repl.append(e)
+            repl[int(j)] = e
+    out = np.full((n, max_degree), -1, dtype=np.int32)
+    lib.entity_graph_build(
+        arr, n, status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        repl, max_degree, entity_chain_cap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

@@ -75,14 +75,21 @@ class Bm25DeviceIndex:
 
     @classmethod
     def build(cls, texts: Sequence[str], k1: float = 1.5, b: float = 0.75,
-              use_native: bool = True) -> "Bm25DeviceIndex":
+              use_native: bool = True,
+              phrase_tokens: bool = False) -> "Bm25DeviceIndex":
         """Build from texts — native C++ streaming builder when available
-        (bit-exact with the Python path, which remains the test oracle)."""
+        (bit-exact with the Python path, which remains the test oracle).
+
+        ``phrase_tokens=True`` appends the multi-word capitalized-run
+        pseudo-tokens (models/hash_embed.py phrase_augment) per document:
+        inside the C++ tokenize loop on the native path, via a Python
+        pre-pass on the fallback path — identical token streams."""
         if use_native:
             try:
                 from ..native import bm25_build_native
 
-                out = bm25_build_native(list(texts), k1=k1, b=b)
+                out = bm25_build_native(list(texts), k1=k1, b=b,
+                                        phrase_tokens=phrase_tokens)
                 if out is not None:
                     return cls(doc_ids=out["doc_ids"], tfs=out["tfs"],
                                row_ptr=out["row_ptr"], df=out["df"],
@@ -90,6 +97,10 @@ class Bm25DeviceIndex:
                                k1=k1, b=b, scores=out["scores"])
             except ImportError:
                 pass
+        if phrase_tokens:
+            from ..models.hash_embed import phrase_augment
+
+            texts = [phrase_augment(t) for t in texts]
         return cls.build_python(texts, k1=k1, b=b)
 
     @classmethod

@@ -88,6 +88,40 @@ void featurize_batch(const char* const* texts, int n, int dim,
   }
 }
 
+// Fused hash-embed: featurize + signed-bucket accumulate + L2 normalize
+// in one pass (out is [n, dim] f32). Equals encode_token_batch(featurize())
+// without materializing the [n, max_features] intermediates — the
+// index-build embed stage in one C call. Matches hash_embed semantics:
+// features are truncated at max_features BEFORE accumulation.
+void hash_embed_batch(const char* const* texts, int n, int dim,
+                      int max_features, float* out) {
+  std::vector<std::string> toks;
+  std::vector<std::string> feats;
+  std::vector<float> acc((size_t)dim);
+  for (int i = 0; i < n; ++i) {
+    toks.clear();
+    feats.clear();
+    tokenize(texts[i], toks);
+    feats = toks;
+    for (size_t j = 0; j + 1 < toks.size(); ++j)
+      feats.push_back(toks[j] + "_" + toks[j + 1]);
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    int m = static_cast<int>(feats.size());
+    if (m > max_features) m = max_features;
+    for (int j = 0; j < m; ++j) {
+      uint32_t h = crc(feats[j]);
+      acc[h % static_cast<uint32_t>(dim)] +=
+          ((h >> 16) & 1u) ? 1.0f : -1.0f;
+    }
+    double sq = 0.0;
+    for (int d = 0; d < dim; ++d) sq += (double)acc[d] * acc[d];
+    float norm = (float)std::sqrt(sq);
+    if (norm < 1e-9f) norm = 1e-9f;
+    float* row = out + (int64_t)i * dim;
+    for (int d = 0; d < dim; ++d) row[d] = acc[d] / norm;
+  }
+}
+
 // Count tokens per text (doc_lens for BM25).
 void token_counts(const char* const* texts, int n, int32_t* counts) {
   std::vector<std::string> toks;
@@ -572,6 +606,170 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
     }
     if ((int)result.size() + 1 > stride) { status[b] = 1; continue; }
     memcpy(row, result.c_str(), result.size() + 1);
+  }
+}
+
+}  // extern "C"
+
+// ---- index-build host stages: phrase-augmented BM25 feed + entity graph ----
+//
+// Both stages mirror the Python builder exactly for "simple" texts
+// (pure-ASCII, no apostrophe/hyphen — the same gate as the bridge stage
+// above); rows failing the gate take per-row Python-prepared inputs so
+// Unicode semantics stay with Python's str tables.
+
+namespace {
+
+// Append phrase pseudo-tokens for multi-word capitalized runs to `toks`
+// (models/hash_embed.py phrase_augment: "00".join(tokenize(run)) per run
+// containing a space; tokenize(text + " " + extras) == tokenize(text) +
+// extras because each extra is one alnum token).
+void append_phrase_tokens(const std::string& text,
+                          std::vector<std::string>& toks) {
+  std::vector<std::string> runs;
+  capitalized_runs_ascii(text, runs);
+  std::vector<std::string> rt;
+  for (auto& r : runs) {
+    if (r.find(' ') == std::string::npos) continue;
+    rt.clear();
+    tokenize(r.c_str(), rt);
+    std::string joined;
+    for (auto& t : rt) {
+      if (!joined.empty()) joined += "00";
+      joined += t;
+    }
+    if (!joined.empty()) toks.push_back(std::move(joined));
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Mark rows needing the Python path (non-simple text). status[i]: 0 | 1.
+void simple_scan(const char* const* texts, int n, int8_t* status) {
+  for (int i = 0; i < n; ++i)
+    status[i] = simple_text(texts[i] ? texts[i] : "") ? 0 : 1;
+}
+
+// bm25_add_docs with in-loop phrase augmentation. Rows with use_repl[i]=1
+// tokenize repl[i] (the Python-side phrase_augment output) verbatim.
+void bm25_add_docs_phrase(void* hptr, const char* const* texts, int n,
+                          const int8_t* use_repl,
+                          const char* const* repl) {
+  auto* h = static_cast<Bm25Handle*>(hptr);
+  auto& vm = h->vocab;
+  std::vector<std::string> toks;
+  std::unordered_map<int32_t, float> tf_by_id;
+  std::vector<int32_t> seen_order;
+  for (int i = 0; i < n; ++i) {
+    toks.clear();
+    if (use_repl && use_repl[i]) {
+      tokenize(repl[i], toks);
+    } else {
+      const char* t = texts[i] ? texts[i] : "";
+      tokenize(t, toks);
+      append_phrase_tokens(std::string(t), toks);
+    }
+    int32_t doc = static_cast<int32_t>(h->doc_lens.size());
+    h->doc_lens.push_back(static_cast<float>(toks.size()));
+    tf_by_id.clear();
+    seen_order.clear();
+    for (auto& t : toks) {
+      auto it = vm.find(t);
+      int32_t tid;
+      if (it == vm.end()) {
+        tid = static_cast<int32_t>(h->terms.size());
+        vm.emplace(t, tid);
+        h->terms.push_back(t);
+        h->postings.emplace_back();
+      } else {
+        tid = it->second;
+      }
+      auto ins = tf_by_id.emplace(tid, 0.0f);
+      if (ins.second) seen_order.push_back(tid);
+      ins.first->second += 1.0f;
+    }
+    for (int32_t tid : seen_order)
+      h->postings[tid].emplace_back(doc, tf_by_id[tid]);
+  }
+}
+
+// Entity-link adjacency (index/builder.py build_sentence_graph's entity
+// table): per row, first-appearance-deduped capitalized runs; per entity
+// (first-appearance order, rows capped at chain_cap): hub star + a
+// consecutive chain, inserted through the same capped dedup add() as the
+// Python builder. Rows with use_repl[i]=1 read their entities from
+// repl[i] ('\n'-joined, possibly empty) instead of extracting.
+// out_nbrs is [n * max_degree] int32, caller-filled with -1.
+void entity_graph_build(const char* const* texts, int n,
+                        const int8_t* use_repl, const char* const* repl,
+                        int max_degree, int chain_cap, int32_t* out_nbrs) {
+  std::vector<int32_t> counts((size_t)n, 0);
+  std::unordered_map<std::string, int32_t> ent_idx;
+  std::vector<std::vector<int32_t>> ent_rows;
+  std::vector<std::string> runs;
+  std::vector<std::string> ents;
+
+  for (int row = 0; row < n; ++row) {
+    runs.clear();
+    ents.clear();
+    if (use_repl && use_repl[row]) {
+      const char* p = repl[row] ? repl[row] : "";
+      std::string cur;
+      for (; *p; ++p) {
+        if (*p == '\n') { if (!cur.empty()) runs.push_back(cur); cur.clear(); }
+        else cur.push_back(*p);
+      }
+      if (!cur.empty()) runs.push_back(cur);
+    } else {
+      capitalized_runs_ascii(std::string(texts[row] ? texts[row] : ""), runs);
+    }
+    // ordered dedup (few entities per sentence: linear scan)
+    for (auto& e : runs) {
+      bool dup = false;
+      for (auto& seen : ents)
+        if (seen == e) { dup = true; break; }
+      if (!dup) ents.push_back(e);
+    }
+    for (auto& e : ents) {
+      auto it = ent_idx.find(e);
+      int32_t idx;
+      if (it == ent_idx.end()) {
+        idx = static_cast<int32_t>(ent_rows.size());
+        ent_idx.emplace(e, idx);
+        ent_rows.emplace_back();
+      } else {
+        idx = it->second;
+      }
+      if ((int)ent_rows[idx].size() < chain_cap)
+        ent_rows[idx].push_back(row);
+    }
+  }
+
+  auto add = [&](int32_t a, int32_t b) {
+    if (a == b) return;
+    int32_t* ra = out_nbrs + (int64_t)a * max_degree;
+    if (counts[a] < max_degree) {
+      bool dup = false;
+      for (int32_t j = 0; j < counts[a]; ++j)
+        if (ra[j] == b) { dup = true; break; }
+      if (!dup) ra[counts[a]++] = b;
+    }
+    int32_t* rb = out_nbrs + (int64_t)b * max_degree;
+    if (counts[b] < max_degree) {
+      bool dup = false;
+      for (int32_t j = 0; j < counts[b]; ++j)
+        if (rb[j] == a) { dup = true; break; }
+      if (!dup) rb[counts[b]++] = a;
+    }
+  };
+
+  for (auto& rows : ent_rows) {
+    if (rows.empty()) continue;
+    int32_t hub = rows[0];
+    for (size_t i = 1; i < rows.size(); ++i) add(hub, rows[i]);
+    for (size_t i = 0; i + 1 < rows.size(); ++i) add(rows[i], rows[i + 1]);
   }
 }
 
