@@ -262,6 +262,46 @@ def dense_topk_pallas(
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_tiles", "precision"))
+def dense_topk_exact_tiled(
+    q: jax.Array, d: jax.Array, k: int, n_tiles: int = 16, precision=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-level EXACT top-k: per-tile ``top_k`` over corpus tiles, then a
+    global ``top_k`` over the tile winners.
+
+    Exact by construction — any global top-k element is inside its own
+    tile's top-k — while each sort runs over N/n_tiles keys instead of N
+    (XLA lowers full-width ``top_k`` to a per-row sort whose cost grows
+    super-linearly in row length; the second-level sort sees only
+    n_tiles*k keys). Pure stock XLA: no kernel, no VMEM tuning, and the
+    [B, N] score matrix still materializes once (same as exact-XLA), so
+    this targets the sort cost specifically. Tie-breaking: ids within a
+    tile are ascending (lax.top_k is stable), but ties ACROSS tiles
+    resolve by tile order of equal scores — same set, possibly different
+    id order than single-level top_k at exact score ties.
+    """
+    B = q.shape[0]
+    N = d.shape[0]
+    pad = (-N) % n_tiles
+    scores = jax.lax.dot_general(
+        q, d, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                         constant_values=NEG_INF)
+    tile = (N + pad) // n_tiles
+    kt = min(k, tile)
+    s3 = scores.reshape(B, n_tiles, tile)
+    ts, ti = jax.lax.top_k(s3, kt)                      # [B, T, kt]
+    gids = ti + (jnp.arange(n_tiles, dtype=jnp.int32) * tile)[None, :, None]
+    flat_s = ts.reshape(B, n_tiles * kt)
+    flat_i = gids.reshape(B, n_tiles * kt)
+    top_s, pos = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return top_s.astype(jnp.float32), top_i.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def dense_topk_approx(
     q: jax.Array, d: jax.Array, k: int, recall_target: float = 0.95

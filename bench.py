@@ -229,6 +229,7 @@ def dense_probe() -> dict:
 
     from a_modular_rag_framework_tpu.ops.topk import (
         dense_topk_approx,
+        dense_topk_exact_tiled,
         dense_topk_pallas,
     )
 
@@ -262,6 +263,12 @@ def dense_probe() -> dict:
         out["dense_probe_pallas_exact_ms"] = round(bp * 1e3, 1)
     except Exception as e:
         out["dense_probe_pallas_error"] = repr(e)[:200]
+    try:
+        # two-level exact top-k (per-tile sort + winner merge, stock XLA)
+        bt = best_of(lambda: dense_topk_exact_tiled(Q, D, k, n_tiles=32))
+        out["dense_probe_tiled_exact_ms"] = round(bt * 1e3, 1)
+    except Exception as e:
+        out["dense_probe_tiled_error"] = repr(e)[:200]
     return out
 
 

@@ -558,3 +558,25 @@ def test_engine_order_alphas_same_set_parity_order():
     # corpus by parallel.sharded_hybrid.dryrun_check (4th case); template
     # corpora like this one carry exact-tie groups where the two selection
     # orders legitimately differ.
+
+
+def test_dense_topk_exact_tiled_matches_xla():
+    """Two-level exact top-k == single-level lax.top_k on scores and id
+    SETS (tie order across tiles may differ), incl. non-divisible N."""
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.topk import (
+        dense_topk_exact_tiled,
+        dense_topk_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    for N, T in ((1000, 16), (1024, 8), (57, 4)):
+        q = jnp.asarray(rng.standard_normal((9, 32)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((N, 32)).astype(np.float32))
+        k = min(20, N)
+        s1, i1 = dense_topk_xla(q, d, k)
+        s2, i2 = dense_topk_exact_tiled(q, d, k, n_tiles=T)
+        assert np.allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+        for b in range(9):
+            assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
