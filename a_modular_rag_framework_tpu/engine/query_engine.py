@@ -143,6 +143,17 @@ class EngineConfig:
     # graph channel reaches the hop-2 evidence.
     query_df_ratio_max: float = 0.0
 
+    def __post_init__(self):
+        if self.order_alphas is not None:
+            oa = tuple(float(a) for a in self.order_alphas)
+            if len(oa) != 3:
+                # fail at construction with the config key's name, not at
+                # first query inside jit with an opaque einsum shape error
+                raise ValueError(
+                    f"order_alphas must be 3 weights (text, graph, dense), "
+                    f"got {self.order_alphas!r}")
+            object.__setattr__(self, "order_alphas", oa)
+
 
 @dataclass
 class QueryResult:

@@ -380,7 +380,6 @@ class NativeBridge:
 
 def entity_graph_native(
     texts: List[str], max_degree: int = 32, entity_chain_cap: int = 64,
-    chunk_hint: int = 0,
 ) -> Optional[np.ndarray]:
     """Entity-link adjacency table [n, max_degree] int32 (-1 pad) — the
     native counterpart of index/builder.py's entity channel. Rows failing

@@ -282,6 +282,10 @@ def dense_topk_exact_tiled(
     """
     B = q.shape[0]
     N = d.shape[0]
+    if k > N:
+        # single-level lax.top_k(scores, k) fails loudly when k > N; with
+        # tiling the pad columns would silently surface as ids >= N instead
+        raise ValueError(f"k={k} exceeds corpus rows N={N}")
     pad = (-N) % n_tiles
     scores = jax.lax.dot_general(
         q, d, dimension_numbers=(((1,), (1,)), ((), ())),

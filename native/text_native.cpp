@@ -96,20 +96,29 @@ void featurize_batch(const char* const* texts, int n, int dim,
 void hash_embed_batch(const char* const* texts, int n, int dim,
                       int max_features, float* out) {
   std::vector<std::string> toks;
-  std::vector<std::string> feats;
+  std::string bigram;
   std::vector<float> acc((size_t)dim);
   for (int i = 0; i < n; ++i) {
     toks.clear();
-    feats.clear();
     tokenize(texts[i], toks);
-    feats = toks;
-    for (size_t j = 0; j + 1 < toks.size(); ++j)
-      feats.push_back(toks[j] + "_" + toks[j + 1]);
     std::fill(acc.begin(), acc.end(), 0.0f);
-    int m = static_cast<int>(feats.size());
-    if (m > max_features) m = max_features;
-    for (int j = 0; j < m; ++j) {
-      uint32_t h = crc(feats[j]);
+    // feature stream = unigrams then '_'-joined bigrams, truncated at
+    // max_features BEFORE accumulation (hash_embed._features semantics);
+    // hashed straight from toks — no feature-vector materialization
+    int budget = max_features;
+    int m = static_cast<int>(toks.size());
+    int take = m < budget ? m : budget;
+    for (int j = 0; j < take; ++j) {
+      uint32_t h = crc(toks[j]);
+      acc[h % static_cast<uint32_t>(dim)] +=
+          ((h >> 16) & 1u) ? 1.0f : -1.0f;
+    }
+    budget -= take;
+    for (int j = 0; j + 1 < m && budget > 0; ++j, --budget) {
+      bigram.assign(toks[j]);
+      bigram.push_back('_');
+      bigram.append(toks[j + 1]);
+      uint32_t h = crc(bigram);
       acc[h % static_cast<uint32_t>(dim)] +=
           ((h >> 16) & 1u) ? 1.0f : -1.0f;
     }
@@ -157,42 +166,49 @@ void* bm25_create() { return new Bm25Handle(); }
 
 void bm25_destroy(void* h) { delete static_cast<Bm25Handle*>(h); }
 
+// Append one document's tokens to the handle: vocab ids assigned in
+// token-occurrence order (matches the Python builder's setdefault-per-
+// occurrence id assignment), tf accumulation, postings append. Shared by
+// the plain and phrase-augmented feeds so the insertion semantics cannot
+// drift between them.
+void bm25_add_doc_tokens(Bm25Handle* h, const std::vector<std::string>& toks,
+                         std::unordered_map<int32_t, float>& tf_by_id,
+                         std::vector<int32_t>& seen_order) {
+  auto& vm = h->vocab;
+  int32_t doc = static_cast<int32_t>(h->doc_lens.size());
+  h->doc_lens.push_back(static_cast<float>(toks.size()));
+  tf_by_id.clear();
+  seen_order.clear();
+  for (auto& t : toks) {
+    auto it = vm.find(t);
+    int32_t tid;
+    if (it == vm.end()) {
+      tid = static_cast<int32_t>(h->terms.size());
+      vm.emplace(t, tid);
+      h->terms.push_back(t);
+      h->postings.emplace_back();
+    } else {
+      tid = it->second;
+    }
+    auto ins = tf_by_id.emplace(tid, 0.0f);
+    if (ins.second) seen_order.push_back(tid);
+    ins.first->second += 1.0f;
+  }
+  for (int32_t tid : seen_order) {
+    h->postings[tid].emplace_back(doc, tf_by_id[tid]);
+  }
+}
+
 // Feed a chunk of documents (streaming-friendly).
 void bm25_add_docs(void* hptr, const char* const* texts, int n) {
   auto* h = static_cast<Bm25Handle*>(hptr);
-  auto& vm = h->vocab;
   std::vector<std::string> toks;
-  std::unordered_map<std::string, int32_t> local_tf;
-
   std::unordered_map<int32_t, float> tf_by_id;
   std::vector<int32_t> seen_order;
   for (int i = 0; i < n; ++i) {
     toks.clear();
     tokenize(texts[i], toks);
-    int32_t doc = static_cast<int32_t>(h->doc_lens.size());
-    h->doc_lens.push_back(static_cast<float>(toks.size()));
-    // assign vocab ids in token-occurrence order (matches the Python
-    // builder's setdefault-per-occurrence id assignment)
-    tf_by_id.clear();
-    seen_order.clear();
-    for (auto& t : toks) {
-      auto it = vm.find(t);
-      int32_t tid;
-      if (it == vm.end()) {
-        tid = static_cast<int32_t>(h->terms.size());
-        vm.emplace(t, tid);
-        h->terms.push_back(t);
-        h->postings.emplace_back();
-      } else {
-        tid = it->second;
-      }
-      auto ins = tf_by_id.emplace(tid, 0.0f);
-      if (ins.second) seen_order.push_back(tid);
-      ins.first->second += 1.0f;
-    }
-    for (int32_t tid : seen_order) {
-      h->postings[tid].emplace_back(doc, tf_by_id[tid]);
-    }
+    bm25_add_doc_tokens(h, toks, tf_by_id, seen_order);
   }
 }
 
@@ -353,17 +369,15 @@ bool simple_text(const char* s) {
 // upper initial, len >= 2, at least one lowercase; single-uppercase
 // initials ride along ("John D. Rockefeller") over " " or ". " gaps; any
 // other token or gap breaks the run. min_words = 1.
-void capitalized_runs_ascii(const std::string& text,
-                            std::vector<std::string>& out) {
-  const char* s = text.c_str();
-  const int n = (int)text.size();
+void capitalized_runs_ascii_c(const char* s, int n,
+                              std::vector<std::string>& out) {
   int run_start = -1, run_end = -1;
   int caps_in_run = 0;
   bool prev_initial = false;
   int prev_end = -1;
   auto flush = [&]() {
     if (caps_in_run >= 1 && run_start >= 0)
-      out.emplace_back(text.substr(run_start, run_end - run_start));
+      out.emplace_back(s + run_start, s + run_end);
     run_start = run_end = -1;
     caps_in_run = 0;
     prev_initial = false;
@@ -399,6 +413,11 @@ void capitalized_runs_ascii(const std::string& text,
     prev_end = end;
   }
   flush();
+}
+
+inline void capitalized_runs_ascii(const std::string& text,
+                                   std::vector<std::string>& out) {
+  capitalized_runs_ascii_c(text.c_str(), (int)text.size(), out);
 }
 
 struct BridgeRun {
@@ -624,10 +643,10 @@ namespace {
 // (models/hash_embed.py phrase_augment: "00".join(tokenize(run)) per run
 // containing a space; tokenize(text + " " + extras) == tokenize(text) +
 // extras because each extra is one alnum token).
-void append_phrase_tokens(const std::string& text,
+void append_phrase_tokens(const char* text,
                           std::vector<std::string>& toks) {
   std::vector<std::string> runs;
-  capitalized_runs_ascii(text, runs);
+  capitalized_runs_ascii_c(text, (int)strlen(text), runs);
   std::vector<std::string> rt;
   for (auto& r : runs) {
     if (r.find(' ') == std::string::npos) continue;
@@ -658,7 +677,6 @@ void bm25_add_docs_phrase(void* hptr, const char* const* texts, int n,
                           const int8_t* use_repl,
                           const char* const* repl) {
   auto* h = static_cast<Bm25Handle*>(hptr);
-  auto& vm = h->vocab;
   std::vector<std::string> toks;
   std::unordered_map<int32_t, float> tf_by_id;
   std::vector<int32_t> seen_order;
@@ -669,29 +687,9 @@ void bm25_add_docs_phrase(void* hptr, const char* const* texts, int n,
     } else {
       const char* t = texts[i] ? texts[i] : "";
       tokenize(t, toks);
-      append_phrase_tokens(std::string(t), toks);
+      append_phrase_tokens(t, toks);
     }
-    int32_t doc = static_cast<int32_t>(h->doc_lens.size());
-    h->doc_lens.push_back(static_cast<float>(toks.size()));
-    tf_by_id.clear();
-    seen_order.clear();
-    for (auto& t : toks) {
-      auto it = vm.find(t);
-      int32_t tid;
-      if (it == vm.end()) {
-        tid = static_cast<int32_t>(h->terms.size());
-        vm.emplace(t, tid);
-        h->terms.push_back(t);
-        h->postings.emplace_back();
-      } else {
-        tid = it->second;
-      }
-      auto ins = tf_by_id.emplace(tid, 0.0f);
-      if (ins.second) seen_order.push_back(tid);
-      ins.first->second += 1.0f;
-    }
-    for (int32_t tid : seen_order)
-      h->postings[tid].emplace_back(doc, tf_by_id[tid]);
+    bm25_add_doc_tokens(h, toks, tf_by_id, seen_order);
   }
 }
 
@@ -723,7 +721,8 @@ void entity_graph_build(const char* const* texts, int n,
       }
       if (!cur.empty()) runs.push_back(cur);
     } else {
-      capitalized_runs_ascii(std::string(texts[row] ? texts[row] : ""), runs);
+      const char* t = texts[row] ? texts[row] : "";
+      capitalized_runs_ascii_c(t, (int)strlen(t), runs);
     }
     // ordered dedup (few entities per sentence: linear scan)
     for (auto& e : runs) {

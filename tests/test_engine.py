@@ -431,3 +431,14 @@ def test_graph_impl_compact_requires_compact_fusion(packed):
         graph_impl="compact", fusion_impl="dense", batch_buckets=(8,)))
     with pytest.raises(ValueError, match="compact"):
         eng.query_batch(["anything"])
+
+
+def test_order_alphas_validated_at_construction():
+    import pytest as _pytest
+
+    from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig
+
+    with _pytest.raises(ValueError, match="order_alphas"):
+        EngineConfig(order_alphas=(0.4, 0.2))
+    cfg = EngineConfig(order_alphas=[0.4, 0.2, 0.4])  # list normalizes
+    assert cfg.order_alphas == (0.4, 0.2, 0.4)

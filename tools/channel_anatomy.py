@@ -83,6 +83,12 @@ def main():
         got10 = set(int(i) for i in ids[row][:10])
         for j, g in enumerate(gold):
             tag = f"hop{j + 1}"
+            if g is None:
+                # gold sentence absent from the loaded index (cache/sample
+                # mismatch): a setup problem, not a retrieval miss — keep
+                # it out of the pool-coverage anatomy
+                stats[f"{tag}_gold_not_in_corpus"] += 1
+                continue
             if g in got10:
                 stats[f"{tag}_hit"] += 1
                 continue
