@@ -366,6 +366,9 @@ class TPUQueryEngine:
     """Holds the packed index resident on device and serves query batches."""
 
     CHANNELS = ("text", "graph", "dense")
+    # query_batch_async accepts prepruned=True (multihop's native bridge
+    # emits already-pruned hop-2 queries and skips the per-batch re-prune)
+    _supports_prepruned = True
 
     def __init__(
         self,
@@ -800,11 +803,13 @@ class TPUQueryEngine:
         top_k: Optional[int] = None,
         graph_window: Optional[int] = None,
         trace_id: str = "",
+        prepruned: bool = False,
     ) -> QueryResult:
         """Synchronous query: dispatch + fetch in one call."""
         pending = self.query_batch_async(
             queries, expansions=expansions, seed_rows=seed_rows,
             top_k=top_k, graph_window=graph_window, trace_id=trace_id,
+            prepruned=prepruned,
         )
         pending._sync_timing = True
         return pending.result()
@@ -845,9 +850,14 @@ class TPUQueryEngine:
         top_k: Optional[int] = None,
         graph_window: Optional[int] = None,
         trace_id: str = "",
+        prepruned: bool = False,
     ) -> "PendingQuery":
         """Dispatch the device program and return without blocking; call
-        ``.result()`` on the returned handle to fetch the QueryResult."""
+        ``.result()`` on the returned handle to fetch the QueryResult.
+
+        ``prepruned=True`` asserts the caller already applied
+        ``prune_query`` (the iterative mode's native bridge emits pruned
+        hop-2 variants) — the per-batch re-prune is skipped."""
         cfg = self.config
         B_real = len(queries)
         if self._n == 0 or B_real == 0:
@@ -865,7 +875,7 @@ class TPUQueryEngine:
         pool_k = min(cfg.pool_k, self._n)
         B = self._bucket(B_real)
 
-        if self._high_df_terms:
+        if self._high_df_terms and not prepruned:
             queries = [self._prune_query(q) for q in queries]
             if expansions is not None:
                 expansions = [[self._prune_query(e) for e in ex]

@@ -296,10 +296,30 @@ def _prep_and_dispatch_hop2(
     # would diverge from Python's Unicode tables)
     native_out = None
     nb = _native_bridge_for(engine.index, docs)
+    # when the engine prunes queries, have the native stage emit the
+    # hop-2 variants ALREADY pruned (prune_query semantics in C++) and
+    # dispatch with prepruned=True — the engine-side re-prune of B
+    # queries (+ expansions) was ~16ms of the per-batch host budget
+    hd = getattr(engine, "_high_df_terms", None)
+    prepruned = bool(
+        nb is not None and hd
+        and getattr(engine, "_supports_prepruned", False))
+    high_df_blob = None
+    if prepruned:
+        bcached = getattr(engine, "_mh_highdf_blob", None)
+        if bcached is not None and bcached[0] is hd:
+            high_df_blob = bcached[1]
+        else:
+            high_df_blob = "\n".join(sorted(hd)).encode("utf-8")
+            try:
+                engine._mh_highdf_blob = (hd, high_df_blob)
+            except AttributeError:
+                pass
     if nb is not None:
         native_out = nb.hop2_batch(list(queries), ids1[:, :hop1_inspect],
                                    max_entities=max_bridge_entities,
-                                   max_variants=3)
+                                   max_variants=3,
+                                   high_df_blob=high_df_blob)
 
     hop2_queries: List[str] = []
     hop2_expansions: List[List[str]] = []
@@ -340,6 +360,13 @@ def _prep_and_dispatch_hop2(
                                   q_tokens=set(tokenize(q)))
         variants = (hop2_queries_for(q, bridges, q_ents=q_ents)
                     if bridges else [])
+        if prepruned and variants:
+            # native rows in this batch are emitted pruned; Python
+            # fallback rows must match (the whole batch dispatches with
+            # prepruned=True)
+            from ...engine.query_engine import prune_query
+
+            variants = [prune_query(v, hd) for v in variants]
         if variants:
             hop2_queries.append(variants[0])
             hop2_expansions.append(variants[1:])
@@ -359,6 +386,8 @@ def _prep_and_dispatch_hop2(
     kw = dict(expansions=hop2_expansions, top_k=top_k,
               graph_window=graph_window,
               trace_id=f"{trace_id}-hop2" if trace_id else "")
+    if prepruned:
+        kw["prepruned"] = True
     dispatch = getattr(engine, "query_batch_async", None)
     if dispatch is None:  # duck-typed engines without the async surface
         return ctx, _Done(engine.query_batch(hop2_queries, **kw))

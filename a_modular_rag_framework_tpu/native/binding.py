@@ -316,7 +316,8 @@ class NativeBridge:
                 ctypes.c_void_p, c_char_pp, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int8)]
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_char_p, ctypes.c_int64]
             lib._bridge_bound = True
         blob = ("\n".join(sorted(question_words)) + "\n").encode("utf-8")
         self._handle = lib.bridge_create(blob, len(blob))
@@ -340,9 +341,15 @@ class NativeBridge:
 
     def hop2_batch(self, queries: List[str], ids: np.ndarray,
                    max_entities: int = 4, max_variants: int = 3,
-                   stride: int = 1024) -> Optional[List[Optional[List[str]]]]:
+                   stride: int = 1024,
+                   high_df_blob: Optional[bytes] = None,
+                   ) -> Optional[List[Optional[List[str]]]]:
         """-> per-query variant list ([] = inactive, None = use Python
-        fallback), or None when the native library is unavailable."""
+        fallback), or None when the native library is unavailable.
+
+        ``high_df_blob`` ('\\n'-joined lowercase terms) makes the native
+        stage emit each variant already pruned (engine prune_query
+        semantics), so the caller can dispatch with prepruned=True."""
         if self._handle is None:
             return None
         B = len(queries)
@@ -358,7 +365,8 @@ class NativeBridge:
             self._handle, arr, B,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), K,
             max_entities, max_variants, out, stride,
-            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            high_df_blob, len(high_df_blob) if high_df_blob else 0)
         results: List[Optional[List[str]]] = []
         raw = out.raw
         for b in range(B):

@@ -162,6 +162,8 @@ class ShardedHybridEngine:
     index rows sharded over the mesh's ``data`` axis."""
 
     CHANNELS = ("text", "graph", "dense")
+    # same prepruned contract as TPUQueryEngine.query_batch_async
+    _supports_prepruned = True
 
     def __init__(
         self,
@@ -503,8 +505,12 @@ class ShardedHybridEngine:
         top_k: Optional[int] = None,
         graph_window: Optional[int] = None,
         trace_id: str = "",
+        prepruned: bool = False,
     ) -> "Any":
-        """Dispatch the sharded program without blocking on the fetch."""
+        """Dispatch the sharded program without blocking on the fetch.
+
+        ``prepruned=True``: the caller already applied ``prune_query``
+        (native hop-2 bridge emission) — skip the re-prune."""
         from ..engine.query_engine import PendingQuery
 
         cfg = self.config
@@ -530,7 +536,7 @@ class ShardedHybridEngine:
         from ..engine.query_engine import (prepare_query_variants,
                                            trim_term_bucket)
 
-        if self._high_df_terms:
+        if self._high_df_terms and not prepruned:
             from ..engine.query_engine import prune_query
 
             queries = [prune_query(q, self._high_df_terms) for q in queries]

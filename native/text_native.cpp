@@ -511,13 +511,35 @@ void bridge_add_docs(void* hptr, const char* const* texts,
 // per query ("" = no bridges / inactive). status[b]: 0 = ok, 1 = needs
 // the Python fallback (non-simple query or inspected doc, id out of
 // range, or output exceeded stride).
+//
+// When high_df_blob is non-empty ('\n'-joined lowercase terms), each
+// emitted variant is already PRUNED exactly like the engine's
+// prune_query (query_engine.py): tokens not in the high-df set, in
+// tokenize order, then the "00"-joined phrase pseudo-token of the
+// (multi-word) bridge name when it too survives the set; if everything
+// would drop, the raw variant is emitted. The caller then dispatches
+// with prepruned=True, taking the per-batch re-prune off the host
+// critical path of the iterative mode.
 void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
                        const int32_t* ids, int K, int max_entities,
                        int max_variants, char* out, int stride,
-                       int8_t* status) {
+                       int8_t* status,
+                       const char* high_df_blob, int64_t high_df_len) {
   auto* h = static_cast<BridgeHandle*>(hptr);
+  std::unordered_set<std::string> high_df;
+  if (high_df_blob && high_df_len > 0) {
+    const char* p = high_df_blob;
+    const char* end = high_df_blob + high_df_len;
+    while (p < end) {
+      const char* nl = (const char*)memchr(p, '\n', end - p);
+      if (!nl) nl = end;
+      if (nl > p) high_df.emplace(p, nl - p);
+      p = nl + 1;
+    }
+  }
+  const bool prune = !high_df.empty();
   std::vector<std::string> q_ents;
-  std::vector<std::string> raw_runs, toks;
+  std::vector<std::string> raw_runs, toks, btoks, kept_pred;
   std::unordered_set<std::string> q_tokens, ent_tokens;
   struct Cand { int count; int first; int order; const std::string* text; };
   std::unordered_map<std::string, Cand> counts;
@@ -609,19 +631,53 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
     toks.clear();
     tokenize(q, toks);
     std::string pred;
+    kept_pred.clear();
     for (auto& t : toks) {
       if (t.size() > 2 && !ent_tokens.count(t)) {
         if (!pred.empty()) pred += ' ';
         pred += t;
+        if (prune && !high_df.count(t)) kept_pred.push_back(t);
       }
     }
     std::string result;
     int n_out = std::min<int>(n_bridges, max_variants);
     for (int v = 0; v < n_out; ++v) {
       const std::string& bname = *cand_order[order[v]];
+      std::string variant = bname;
+      if (!pred.empty()) { variant += ' '; variant += pred; }
+      if (prune) {
+        // prune_query(variant): tokenize(variant) = tokenize(bname) ++
+        // pred tokens (pred tokens are tokenize() output, so the re-split
+        // is exact); the only capitalized run in the variant is the
+        // bridge name itself (preds are lowercase), so the phrase
+        // pseudo-token is derived from bname directly.
+        btoks.clear();
+        tokenize(bname.c_str(), btoks);
+        std::string pv;
+        for (auto& t : btoks) {
+          if (high_df.count(t)) continue;
+          if (!pv.empty()) pv += ' ';
+          pv += t;
+        }
+        for (auto& t : kept_pred) {
+          if (!pv.empty()) pv += ' ';
+          pv += t;
+        }
+        if (bname.find(' ') != std::string::npos) {
+          std::string phrase;
+          for (size_t ti = 0; ti < btoks.size(); ++ti) {
+            if (ti) phrase += "00";
+            phrase += btoks[ti];
+          }
+          if (!high_df.count(phrase)) {
+            if (!pv.empty()) pv += ' ';
+            pv += phrase;
+          }
+        }
+        if (!pv.empty()) variant = std::move(pv);
+      }
       if (v) result += '\n';
-      result += bname;
-      if (!pred.empty()) { result += ' '; result += pred; }
+      result += variant;
     }
     if ((int)result.size() + 1 > stride) { status[b] = 1; continue; }
     memcpy(row, result.c_str(), result.size() + 1);

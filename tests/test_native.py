@@ -269,3 +269,110 @@ def test_hash_embed_batch_native_bit_exact():
     bk, sg = enc.featurize(texts)
     ref = enc.encode_token_batch(bk, sg)
     assert np.array_equal(fused, ref)
+
+
+def test_native_bridge_pruned_emission_matches_prune_query():
+    """hop2_batch(high_df_blob=...) must emit exactly
+    prune_query(raw_variant, high_df) for every variant, including the
+    kept-empty -> raw fallback and the phrase pseudo-token placement."""
+    import numpy as np
+    import pytest
+
+    from a_modular_rag_framework_tpu.engine.query_engine import prune_query
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        _QUESTION_WORDS,
+    )
+    from a_modular_rag_framework_tpu.native.binding import NativeBridge
+
+    docs = [
+        {"title": "Alden Kelholan", "text": "Alden Kelholan was born in Dunmore."},
+        {"title": "Sage Silverton", "text": "Sage Silverton worked with Alden Kelholan on the archive."},
+        {"title": "Dunmore", "text": "Dunmore is a town. Sage Silverton visited it."},
+        {"title": "Ribbon Award", "text": "The Ribbon Award honored Sage Silverton and Mira Tull."},
+        {"title": "Mira Tull", "text": "Later in life Mira Tull retired near Sage Silverton."},
+    ]
+    nb = NativeBridge(docs, _QUESTION_WORDS)
+    if not nb.available:
+        pytest.skip("native lib unavailable")
+
+    queries = [
+        "In which city was the collaborator of Sage Silverton born?",
+        "Who worked with Sage Silverton?",
+        "What award did Sage Silverton win?",
+        "Which town did Sage Silverton visit?",
+    ]
+    ids = np.array([[1, 0, 2, 3, 4]] * len(queries), dtype=np.int32)
+    raw = nb.hop2_batch(queries, ids)
+
+    # high-df sets exercising each branch: predicate words, a bridge-name
+    # token, the phrase pseudo-token itself, and everything-drops
+    cases = [
+        {"worked", "with", "born", "archive", "visited", "town", "award",
+         "honored", "collaborator", "city", "win"},
+        {"alden", "mira"},
+        {"alden00kelholan", "mira00tull", "ribbon00award"},
+        # everything high-df -> kept empty -> raw variant must come back
+        {"alden", "kelholan", "mira", "tull", "ribbon", "award", "dunmore",
+         "alden00kelholan", "mira00tull", "ribbon00award", "worked", "with",
+         "born", "archive", "visited", "town", "honored", "collaborator",
+         "city", "win"},
+    ]
+    for high_df in cases:
+        blob = "\n".join(sorted(high_df)).encode("utf-8")
+        got = nb.hop2_batch(queries, ids, high_df_blob=blob)
+        for b in range(len(queries)):
+            assert raw[b] is not None and got[b] is not None
+            want = [prune_query(v, high_df) for v in raw[b]]
+            assert got[b] == want, (queries[b], high_df, got[b], want)
+
+
+def test_iterative_prepruned_dispatch_bit_parity():
+    """iterative_retrieve over a pruning engine returns bit-identical ids
+    and scores whether hop-2 queries are pruned natively (prepruned
+    dispatch) or by the engine (python path, native bridge disabled)."""
+    import numpy as np
+    import pytest
+
+    from a_modular_rag_framework_tpu.modules.retrieval import multihop as mh
+
+    eng, samples = _iterative_engine()
+    if mh._native_bridge_for(eng.index, eng.index.corpus.docs) is None:
+        pytest.skip("native lib unavailable")
+    qs = [s["question"] for s in samples[:16]]
+
+    ids_n, sc_n, _, diag_n = mh.iterative_retrieve(eng, qs, top_k=10)
+
+    # force the Python path: gate the native bridge off for this index
+    mh._NATIVE_BRIDGES[eng.index] = None
+    # drop memoized per-engine state so the python path re-derives it
+    eng._mh_doc_runs = (eng.index, {})
+    try:
+        ids_p, sc_p, _, diag_p = mh.iterative_retrieve(eng, qs, top_k=10)
+    finally:
+        del mh._NATIVE_BRIDGES[eng.index]
+
+    assert diag_n["hop2_queries"] != [] and diag_p["hop2_queries"] != []
+    np.testing.assert_array_equal(np.asarray(ids_n), np.asarray(ids_p))
+    np.testing.assert_array_equal(np.asarray(sc_n), np.asarray(sc_p))
+
+
+def _iterative_engine():
+    """Small CPU engine with idf pruning active (high_df_terms non-empty)."""
+    from a_modular_rag_framework_tpu.core.dataset_loader import (
+        SyntheticHotpotQALoader,
+    )
+    from a_modular_rag_framework_tpu.engine.query_engine import (
+        EngineConfig,
+        TPUQueryEngine,
+    )
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+
+    samples = SyntheticHotpotQALoader({"count": 48, "seed": 3,
+                                       "collide_entities": True}).load()
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    idx = build_packed_index(corpus)
+    eng = TPUQueryEngine(idx, config=EngineConfig(
+        batch_buckets=(16,), query_df_ratio_max=0.05))
+    assert eng._high_df_terms, "pruning must be active for this test"
+    return eng, samples
