@@ -160,25 +160,42 @@ def iterative_retrieve_pipelined(
     Three stages, one batch deep each — hop-1 dispatch, hop-2 dispatch,
     merge — so the device queue always holds the NEXT batch's hop-1
     program while the host does bridge extraction / merging for the
-    previous one (the same one-in-flight discipline as
-    `TPUQueryEngine.query_batches_pipelined`). Yields one
+    previous one. The hop-2 stage (hop-1 fetch + bridge extraction +
+    hop-2 dispatch, the dominant ~100ms of per-batch host work) runs on
+    a single worker thread: the caller thread's fetch/merge waits release
+    the GIL, so the prep genuinely overlaps — the same one-in-flight
+    prep-ahead discipline as `TPUQueryEngine.query_batches_pipelined`
+    (where a 2nd worker measurably LOST to GIL contention). Yields one
     ``(ids, scores, norms, diagnostics)`` tuple per input batch, in order.
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = getattr(engine, "_mh_prep_pool", None)
+    if pool is None:
+        pool = ThreadPoolExecutor(max_workers=1,
+                                  thread_name_prefix="amrf-mh-prep")
+        try:
+            engine._mh_prep_pool = pool
+        except AttributeError:
+            pass
 
     kw1 = dict(top_k=top_k, hop1_inspect=hop1_inspect,
                max_bridge_entities=max_bridge_entities,
                graph_window=graph_window, trace_id=trace_id)
     q1: deque = deque()  # (queries, pending hop-1)
-    q2: deque = deque()  # (queries, ctx, pending hop-2 | None)
+    q2: deque = deque()  # (queries, future -> (ctx, pending hop-2|None))
+
+    def _stage2(qs0, p10):
+        return _prep_and_dispatch_hop2(engine, qs0, p10.result(), **kw1)
 
     def advance1():
         qs0, p10 = q1.popleft()
-        ctx, p2 = _prep_and_dispatch_hop2(engine, qs0, p10.result(), **kw1)
-        q2.append((qs0, ctx, p2))
+        q2.append((qs0, pool.submit(_stage2, qs0, p10)))
 
     def flush2():
-        qs0, ctx, p2 = q2.popleft()
+        qs0, fut = q2.popleft()
+        ctx, p2 = fut.result()
         return _merge_hop2(qs0, ctx,
                            p2.result() if p2 is not None else None,
                            top_k=top_k, hop_decay=hop_decay,
