@@ -39,7 +39,7 @@ def _build_lib() -> Optional[Path]:
     out = _SRC.parent / f"text_native_{digest}.so"
     if out.exists():
         return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            str(_SRC), "-o", str(out), "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

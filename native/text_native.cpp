@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -538,14 +539,33 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
     }
   }
   const bool prune = !high_df.empty();
-  std::vector<std::string> q_ents;
-  std::vector<std::string> raw_runs, toks, btoks, kept_pred;
-  std::unordered_set<std::string> q_tokens, ent_tokens;
-  struct Cand { int count; int first; int order; const std::string* text; };
-  std::unordered_map<std::string, Cand> counts;
-  std::vector<const std::string*> cand_order;
 
-  for (int b = 0; b < B; ++b) {
+  // Pre-materialize the lazily-extracted doc runs for every inspected row
+  // (single-threaded: each doc is touched once, and the per-doc cache is
+  // warm across batches anyway). The per-query scan below then reads the
+  // corpus strictly read-only, so it parallelizes over queries.
+  {
+    std::unordered_set<int32_t> uniq;
+    const int64_t nd = (int64_t)h->docs.size();
+    for (int64_t i = 0; i < (int64_t)B * K; ++i) {
+      int32_t id = ids[i];
+      if (id >= 0 && id < nd && !h->docs[id].runs_ready) uniq.insert(id);
+    }
+    for (int32_t id : uniq) ensure_doc_runs(h, h->docs[id]);
+  }
+
+  // Per-query scan: independent rows writing disjoint out/status slots
+  // over a read-only corpus — each worker thread owns its scratch and
+  // walks queries with stride T.
+  auto worker = [&](int t0, int T) {
+    std::vector<std::string> q_ents;
+    std::vector<std::string> raw_runs, toks, btoks, kept_pred;
+    std::unordered_set<std::string> q_tokens, ent_tokens;
+    struct Cand { int count; int first; int order; const std::string* text; };
+    std::unordered_map<std::string, Cand> counts;
+    std::vector<const std::string*> cand_order;
+
+  for (int b = t0; b < B; b += T) {
     char* row = out + (int64_t)b * stride;
     row[0] = '\0';
     status[b] = 0;
@@ -573,9 +593,9 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
       int32_t id = ids[(int64_t)b * K + k];
       if (id < 0) continue;
       if (id >= (int64_t)h->docs.size()) { fallback = true; break; }
-      BridgeDoc& d = h->docs[id];
+      const BridgeDoc& d = h->docs[id];
       if (!d.simple) { fallback = true; break; }
-      ensure_doc_runs(h, d);
+      // runs were pre-materialized above; this loop is read-only
       int my_rank = rank++;
       if (!q_ents.empty()) {
         bool mentioned = false;
@@ -681,6 +701,20 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
     }
     if ((int)result.size() + 1 > stride) { status[b] = 1; continue; }
     memcpy(row, result.c_str(), result.size() + 1);
+  }
+  };  // worker
+
+  int T = (int)std::thread::hardware_concurrency() / 2;
+  if (T > 8) T = 8;
+  if (T < 1 || B < 256) T = 1;  // small batches: thread spawn > scan cost
+  if (T == 1) {
+    worker(0, 1);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T - 1);
+    for (int t = 1; t < T; ++t) threads.emplace_back(worker, t, T);
+    worker(0, T);
+    for (auto& th : threads) th.join();
   }
 }
 
