@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -437,6 +438,10 @@ struct BridgeHandle {
   std::unordered_set<std::string> qwords;
   std::unordered_set<std::string> titles;
   std::vector<BridgeDoc> docs;
+  // guards the lazy doc-run materialization: concurrent hop2_batch calls
+  // (two engines sharing one index, or server + batch loops) must not
+  // observe a half-filled BridgeDoc.runs
+  std::mutex runs_mu;
 };
 
 // lowercase tokens of a simple text, sorted + deduped
@@ -545,6 +550,7 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
   // warm across batches anyway). The per-query scan below then reads the
   // corpus strictly read-only, so it parallelizes over queries.
   {
+    std::lock_guard<std::mutex> lock(h->runs_mu);
     std::unordered_set<int32_t> uniq;
     const int64_t nd = (int64_t)h->docs.size();
     for (int64_t i = 0; i < (int64_t)B * K; ++i) {
