@@ -181,3 +181,52 @@ def test_adjacency_npz_loads_without_pickle(tmp_path):
     data = np.load(adj, allow_pickle=False)
     assert data["node_ids"].dtype.kind == "U"
     assert list(data["node_ids"]) == ["q1", "D::sent0", "D::sent1"]
+
+
+def test_server_concurrent_mixed_modes_with_batch_loop(engine):
+    """Stress the cross-thread seams the iterative host-prep pass added:
+    server threads answering single AND iterative submits while a
+    pipelined iterative batch loop runs on the same engine (shared
+    NativeBridge + doc-run cache + prep pools). Every result must equal
+    its direct-call oracle."""
+    import concurrent.futures
+
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+        iterative_retrieve_pipelined,
+    )
+
+    eng, samples = engine
+    qs = [s["question"] for s in samples[:8]]
+    want_iter, _, _, _ = iterative_retrieve(eng, qs, top_k=5)
+    want_single = eng.query_batch(qs, top_k=5)
+    want_batches = [
+        np.asarray(r[0]) for r in iterative_retrieve_pipelined(
+            eng, [qs, list(reversed(qs))] * 2, top_k=5)
+    ]
+
+    def batch_loop():
+        return [np.asarray(r[0]) for r in iterative_retrieve_pipelined(
+            eng, [qs, list(reversed(qs))] * 2, top_k=5)]
+
+    with QueryServer(eng, max_batch=8, max_wait_ms=10) as server:
+        with concurrent.futures.ThreadPoolExecutor(3) as pool:
+            fut_loop = pool.submit(batch_loop)
+            fut_it = [server.submit(q, mode="iterative", top_k=5)
+                      for q in qs]
+            fut_sg = [server.submit(q, top_k=5) for q in qs]
+            got_loop = fut_loop.result(timeout=120)
+            got_it = [f.result(timeout=120) for f in fut_it]
+            got_sg = [f.result(timeout=120) for f in fut_sg]
+
+    for got, want in zip(got_loop, want_batches):
+        np.testing.assert_array_equal(got, want)
+    for row, hits in enumerate(got_it):
+        want = [eng.index.corpus.hit_id(int(i))
+                for i in np.asarray(want_iter)[row] if i >= 0]
+        assert [h.id for h in hits] == want, row
+    w_ids = np.asarray(want_single.hits.ids)
+    for row, hits in enumerate(got_sg):
+        want = [eng.index.corpus.hit_id(int(i))
+                for i in w_ids[row] if i >= 0]
+        assert [h.id for h in hits] == want, row
