@@ -162,21 +162,40 @@ def measure_throughput(engine, questions):
 def iterative_recall(engine, samples, batch) -> float:
     """recall@10 of the iterative bridge-entity 2-hop mode (the quality
     mode) over the first 128 labeled samples, run at the full bucket."""
+    return iterative_eval(engine, samples, batch, trials=0)[0]
+
+
+def iterative_eval(engine, samples, batch, *, depth=2, trials=2):
+    """(recall@10, pipelined q/s | None) of the iterative 2-hop quality
+    mode at the full bucket — the scale rows report its throughput next
+    to the single-pass headline so the quality mode's operating cost is
+    auditable at every corpus size. trials=0 skips the timing."""
     from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
     from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
     from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
         iterative_retrieve,
+        iterative_retrieve_pipelined,
     )
 
     eval_qs = [s["question"] for s in samples[:128]]
     qs = (eval_qs * ((batch // len(eval_qs)) + 1))[:batch]
-    out = iterative_retrieve(engine, qs, top_k=TOP_K)
+    out = iterative_retrieve(engine, qs, top_k=TOP_K)  # warm + recall source
     ids = np.asarray(out[0])
     recalls = []
     for row, s in enumerate(samples[:128]):
         got = [engine.index.corpus.hit_id(int(i)) for i in ids[row] if i >= 0]
         recalls.append(recall_at_k(got, gold_hit_ids(s), TOP_K))
-    return float(np.mean(recalls))
+    qps = None
+    if trials:
+        best = float("inf")
+        for _ in range(trials):  # best-of: tunnel RTT jitter
+            t0 = time.time()
+            for _ in iterative_retrieve_pipelined(engine, [qs] * depth,
+                                                  top_k=TOP_K):
+                pass
+            best = min(best, (time.time() - t0) / depth)
+        qps = batch / best
+    return float(np.mean(recalls)), qps
 
 
 def index_device_bytes(engine) -> int:
@@ -631,13 +650,15 @@ def main() -> None:
         pipe1, seq1, dev1 = measure_throughput(engine1, q1)
         quality1 = evaluate_retrieval(engine1, samples1[:128], k=TOP_K,
                                       batch_size=SCALE_BATCH)
+        it_rec1, it_qps1 = iterative_eval(engine1, samples1, SCALE_BATCH)
         extras["scale_100k"] = {
             "corpus_passages": idx1.n_docs,
             "pipelined_qps": round(pipe1, 1),
             "sequential_qps": round(seq1, 1),
             "recall_at_10": round(quality1[f"recall_at_{TOP_K}"], 4),
             "recall_at_10_iterative_2hop": round(
-                iterative_recall(engine1, samples1, SCALE_BATCH), 4),
+                it_rec1, 4),
+            "iterative_2hop_qps": round(it_qps1, 1) if it_qps1 else None,
             "index_build_sec": round(t_build1, 1) if t_build1 else None,
             "index_device_bytes": index_device_bytes(engine1),
         }
@@ -671,13 +692,14 @@ def main() -> None:
             pipel, seql, _ = measure_throughput(enginel, ql)
             qualityl = evaluate_retrieval(enginel, samplesl[:128], k=TOP_K,
                                           batch_size=SCALE_BATCH)
+            it_recl, it_qpsl = iterative_eval(enginel, samplesl, SCALE_BATCH)
             extras[label] = {
                 "corpus_passages": idxl.n_docs,
                 "pipelined_qps": round(pipel, 1),
                 "sequential_qps": round(seql, 1),
                 "recall_at_10": round(qualityl[f"recall_at_{TOP_K}"], 4),
-                "recall_at_10_iterative_2hop": round(
-                    iterative_recall(enginel, samplesl, SCALE_BATCH), 4),
+                "recall_at_10_iterative_2hop": round(it_recl, 4),
+                "iterative_2hop_qps": round(it_qpsl, 1) if it_qpsl else None,
                 "index_build_sec": (idxl.manifest.get("build_stats")
                                     or {}).get("total_sec"),
                 "index_device_bytes": index_device_bytes(enginel),
