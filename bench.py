@@ -656,8 +656,8 @@ def main() -> None:
             "pipelined_qps": round(pipe1, 1),
             "sequential_qps": round(seq1, 1),
             "recall_at_10": round(quality1[f"recall_at_{TOP_K}"], 4),
-            "recall_at_10_iterative_2hop": round(
-                it_rec1, 4),
+            "mrr": round(quality1["mrr"], 4),
+            "recall_at_10_iterative_2hop": round(it_rec1, 4),
             "iterative_2hop_qps": round(it_qps1, 1) if it_qps1 else None,
             "index_build_sec": round(t_build1, 1) if t_build1 else None,
             "index_device_bytes": index_device_bytes(engine1),
@@ -698,6 +698,7 @@ def main() -> None:
                 "pipelined_qps": round(pipel, 1),
                 "sequential_qps": round(seql, 1),
                 "recall_at_10": round(qualityl[f"recall_at_{TOP_K}"], 4),
+                "mrr": round(qualityl["mrr"], 4),
                 "recall_at_10_iterative_2hop": round(it_recl, 4),
                 "iterative_2hop_qps": round(it_qpsl, 1) if it_qpsl else None,
                 "index_build_sec": (idxl.manifest.get("build_stats")
