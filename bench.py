@@ -705,6 +705,30 @@ def main() -> None:
                                     or {}).get("total_sec"),
                 "index_device_bytes": index_device_bytes(enginel),
             }
+            if label == "scale_5m":
+                # BASELINE config 2: exact dense retrieval over the full
+                # fullwiki-scale index in HBM (the Pallas streaming kernel
+                # — no [B, N] score matrix materializes at 5.17M rows)
+                try:
+                    enginel.query_dense_batch(ql, top_k=TOP_K)  # warm
+                    dsec = float("inf")
+                    for _ in range(2):
+                        t0 = time.time()
+                        rd = enginel.query_dense_batch(ql, top_k=TOP_K)
+                        dsec = min(dsec, time.time() - t0)
+                    d_ids = np.asarray(rd.hits.ids)
+                    drecs = []
+                    for row, s in enumerate(samplesl[:128]):
+                        got = [idxl.corpus.hit_id(int(i))
+                               for i in d_ids[row] if i >= 0]
+                        drecs.append(recall_at_k(got, gold_hit_ids(s),
+                                                 TOP_K))
+                    extras[label]["dense_only"] = {
+                        "qps": round(len(ql) / dsec, 1),
+                        "recall_at_10": round(float(np.mean(drecs)), 4),
+                    }
+                except Exception as e:
+                    extras[label]["dense_only"] = {"error": repr(e)[:200]}
             del enginel, idxl
         except Exception as e:
             extras[label] = {"error": repr(e)}
