@@ -107,6 +107,9 @@ class TPUHybridRetrievalBackend:
         graph_impl: str = "auto",
         graph_compact_cap: int = 256,
         graph_wave_dtype: str = "float32",
+        cross_rerank_weights: str = "",
+        cross_rerank_top_m: int = 20,
+        cross_rerank_subword_ngrams: int = 8,
     ):
         self.router = router
         self.sink = sink
@@ -122,6 +125,22 @@ class TPUHybridRetrievalBackend:
 
         self.expander = LLMQueryExpander(router, qe_lines, qe_attr_paraphrase)
         self._ephemeral_cache: Dict[str, TPUQueryEngine] = {}
+
+        # optional second stage: joint (query, passage) cross-encoder over
+        # the fused top-m (BASELINE config 4's rerank; cli/train_cross_encoder
+        # trains + exports the weights). Off unless weights are configured.
+        self.reranker = None
+        self.cross_rerank_top_m = int(cross_rerank_top_m)
+        if cross_rerank_weights:
+            from ...models.cross_encoder import (
+                CrossEncoderConfig,
+                CrossEncoderReranker,
+            )
+
+            self.reranker = CrossEncoderReranker.load(
+                cross_rerank_weights,
+                CrossEncoderConfig(
+                    subword_ngrams=int(cross_rerank_subword_ngrams)))
 
         if encoder is None and encoder_weights:
             # learned TextEncoder (trained by cli/train_encoder), with
@@ -375,11 +394,26 @@ class TPUHybridRetrievalBackend:
                 )
             hits = engine.hydrate_hits(result, 0)
 
+        if self.reranker is not None and hits:
+            with span("Backend/CrossRerank", self.sink, trace_id):
+                texts = [str(h.meta.get("text", "")) for h in hits]
+                scores = self.reranker.score_pairs(
+                    [req.query] * min(self.cross_rerank_top_m, len(hits)),
+                    texts[: self.cross_rerank_top_m])
+                order = sorted(range(len(scores)),
+                               key=lambda i: (-scores[i], i))
+                order += list(range(len(scores), len(hits)))
+                hits = [hits[i] for i in order]
+                for rank, i in enumerate(order[: len(scores)]):
+                    hits[rank].meta["cross_score"] = float(scores[i])
+
         diagnostics = {
             "queries": queries,
             **result.diagnostics,
             **({"fallback": fallback} if fallback else {}),
             "seed_mode": "qmatch" if seeds is not None else "bm25_weighted",
+            **({"cross_reranked": self.cross_rerank_top_m}
+               if self.reranker is not None else {}),
             "seed_count": len(seeds) if seeds else 0,
             "resolved_embed_model": (
                 self.router.resolve_embed_model() if self.router else "tpu-hash-encoder"
