@@ -1,0 +1,200 @@
+"""Train the SPLADE-style sparse expansion model and export weights.
+
+Same contrastive pair recipe as the dense encoder CLI (question,
+supporting-sentence pairs, in-batch InfoNCE) plus the FLOPS sparsity
+regularizer. After training, evaluates standalone sparse retrieval
+(recall@10 / MRR) on a held-out corpus against the BM25 channel over the
+identical sentences — the learned-vs-lexical sparse comparison BASELINE
+config 4 implies ("sparse BM25/SPLADE scores").
+
+Usage:
+  python -m a_modular_rag_framework_tpu.cli.train_splade \
+      --synthetic 512 --steps 300 --eval_samples 128 --out data/splade.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+from .train_encoder import build_pairs
+
+
+def eval_sparse(samples, retriever, k: int = 10) -> Dict[str, float]:
+    """Recall@k / MRR of a standalone sparse retriever over the flat
+    sentence corpus of ``samples`` (gold = supporting-fact sentences)."""
+    from ..index.corpus import SentenceCorpus
+
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    retriever.build(corpus.texts())
+    by = corpus.row_by_title_sid()
+    gold_rows = []
+    for s in samples:
+        gold_rows.append({by[(t, sid)] for t, sid in
+                          s.get("supporting_facts", []) if (t, sid) in by})
+    recalls, mrrs = [], []
+    B = 64
+    qs = [s["question"] for s in samples]
+    for start in range(0, len(qs), B):
+        chunk = qs[start:start + B]
+        pad = B - len(chunk)
+        ids, _ = retriever.query_batch(chunk + [""] * pad, top_k=k)
+        for row, gold in enumerate(gold_rows[start:start + len(chunk)]):
+            got = [int(i) for i in ids[row] if i >= 0]
+            if not gold:
+                continue
+            hits = sum(1 for g in got if g in gold)
+            recalls.append(hits / min(len(gold), k))
+            rr = 0.0
+            for rank, g in enumerate(got):
+                if g in gold:
+                    rr = 1.0 / (rank + 1)
+                    break
+            mrrs.append(rr)
+    return {"recall_at_10": float(np.mean(recalls)) if recalls else 0.0,
+            "mrr": float(np.mean(mrrs)) if mrrs else 0.0}
+
+
+def eval_bm25(samples, k: int = 10) -> Dict[str, float]:
+    """BM25 over the same sentences (the lexical sparse baseline)."""
+    import jax.numpy as jnp
+
+    from ..index.corpus import SentenceCorpus
+    from ..ops.bm25 import Bm25DeviceIndex, bm25_topk_sorted
+
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    idx = Bm25DeviceIndex.build(corpus.texts())
+    idx.ensure_scores()
+    by = corpus.row_by_title_sid()
+    gold_rows = []
+    for s in samples:
+        gold_rows.append({by[(t, sid)] for t, sid in
+                          s.get("supporting_facts", []) if (t, sid) in by})
+    recalls, mrrs = [], []
+    qs = [s["question"] for s in samples]
+    B = 64
+    for start in range(0, len(qs), B):
+        chunk = qs[start:start + B]
+        pad = B - len(chunk)
+        t = idx.encode_query_terms(chunk + [""] * pad, max_terms=16)
+        scores, ids = bm25_topk_sorted(
+            jnp.asarray(t)[:, None, :], jnp.asarray(idx.doc_ids),
+            jnp.asarray(idx.scores), jnp.asarray(idx.row_ptr),
+            n_docs=idx.n_docs, term_topm=min(256, idx.n_docs), pool_k=k)
+        ids = np.asarray(ids)
+        for row, gold in enumerate(gold_rows[start:start + len(chunk)]):
+            got = [int(i) for i in ids[row] if i >= 0]
+            if not gold:
+                continue
+            hits = sum(1 for g in got if g in gold)
+            recalls.append(hits / min(len(gold), k))
+            rr = 0.0
+            for rank, g in enumerate(got):
+                if g in gold:
+                    rr = 1.0 / (rank + 1)
+                    break
+            mrrs.append(rr)
+    return {"recall_at_10": float(np.mean(recalls)) if recalls else 0.0,
+            "mrr": float(np.mean(mrrs)) if mrrs else 0.0}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", type=str, default="")
+    ap.add_argument("--synthetic", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--d_model", type=int, default=64)
+    ap.add_argument("--n_layers", type=int, default=2)
+    ap.add_argument("--vocab_size", type=int, default=8192)
+    ap.add_argument("--subword_ngrams", type=int, default=8)
+    ap.add_argument("--doc_top_terms", type=int, default=64)
+    ap.add_argument("--query_top_terms", type=int, default=16)
+    ap.add_argument("--flops_lambda", type=float, default=3e-4)
+    ap.add_argument("--out", type=str, default="data/splade.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variety", action="store_true")
+    ap.add_argument("--eval_samples", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.dataset_loader import SyntheticHotpotQALoader
+    from ..models.encoder import EncoderConfig, TextEncoder
+    from ..models.splade import (
+        SpladeConfig,
+        SpladeEncoder,
+        init_splade_params,
+        make_splade_train_step,
+    )
+    from ..ops.splade import SpladeRetriever
+
+    if args.input:
+        samples = json.loads(Path(args.input).read_text(encoding="utf-8"))
+        held_out = samples[len(samples) - args.eval_samples:] \
+            if args.eval_samples else []
+        samples = samples[: len(samples) - len(held_out)]
+    else:
+        samples = SyntheticHotpotQALoader(
+            {"count": args.synthetic, "seed": args.seed,
+             "unique_entities": True, "variety": args.variety}).load()
+        held_out = SyntheticHotpotQALoader(
+            {"count": args.eval_samples, "seed": args.seed + 1,
+             "index": args.synthetic, "unique_entities": True,
+             "variety": args.variety}).load() if args.eval_samples else []
+    queries, passages = build_pairs(samples)
+    print(f"training pairs: {len(queries)}")
+
+    cfg = SpladeConfig(
+        encoder=EncoderConfig(vocab_size=args.vocab_size,
+                              d_model=args.d_model, n_layers=args.n_layers,
+                              subword_ngrams=args.subword_ngrams),
+        doc_top_terms=args.doc_top_terms,
+        query_top_terms=args.query_top_terms,
+        flops_lambda=args.flops_lambda)
+    params = init_splade_params(jax.random.PRNGKey(args.seed), cfg)
+    init_state, train_step = make_splade_train_step(cfg, learning_rate=args.lr)
+    opt_state = init_state(params)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    rng = np.random.default_rng(args.seed)
+    n = len(queries)
+    t0 = time.time()
+    metrics = {}
+    for i in range(args.steps):
+        pick = rng.choice(n, size=min(args.batch, n), replace=False)
+        batch = {k: jnp.asarray(v) for k, v in TextEncoder.make_pair_batch(
+            [queries[j] for j in pick], [passages[j] for j in pick],
+            cfg.encoder).items()}
+        params, opt_state, metrics = step(params, opt_state, batch)
+        if (i + 1) % max(1, args.steps // 10) == 0:
+            print(f"step {i + 1}/{args.steps} "
+                  f"loss={float(metrics['loss']):.4f} "
+                  f"acc={float(metrics['accuracy']):.3f} "
+                  f"doc_nnz={float(metrics['doc_nnz']):.1f}")
+    total = time.time() - t0
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    enc = SpladeEncoder(cfg, params=params)
+    enc.save(str(out))
+    report = {"steps": args.steps, "pairs": n,
+              "final_loss": float(metrics["loss"]),
+              "final_acc": float(metrics["accuracy"]),
+              "doc_nnz": float(metrics["doc_nnz"]),
+              "train_sec": round(total, 1), "out": str(out)}
+    if held_out:
+        report["held_out_splade"] = eval_sparse(
+            held_out, SpladeRetriever(enc))
+        report["held_out_bm25"] = eval_bm25(held_out)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

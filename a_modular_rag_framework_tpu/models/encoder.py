@@ -174,10 +174,15 @@ def _attention(x, wqkv, wo, mask, n_heads: int, dtype):
                    preferred_element_type=jnp.float32)
 
 
-def apply_encoder(params: Dict[str, Any], token_ids: jax.Array, mask: jax.Array,
-                  cfg: EncoderConfig) -> jax.Array:
-    """token ids [B, L] (or [B, L, G] subword features) -> L2-normalized
-    embeddings [B, d_model] f32."""
+def encode_hidden(params: Dict[str, Any], token_ids: jax.Array,
+                  mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    """Transformer trunk: token ids [B, L] (or [B, L, G] subword features)
+    -> per-token hidden states [B, L, d_model] f32 (post final LayerNorm).
+
+    Shared by the dense sentence encoder (`apply_encoder` mean-pools this)
+    and the SPLADE-style sparse expansion head (`models.splade`), so both
+    retrieval heads ride the same MXU trunk and subword transfer behavior.
+    """
     x = jnp.take(params["tok_emb"], token_ids, axis=0)
     if token_ids.ndim == 3:  # mean over subword features per word
         x = jnp.mean(x, axis=2)
@@ -194,7 +199,14 @@ def apply_encoder(params: Dict[str, Any], token_ids: jax.Array, mask: jax.Array,
         h = jnp.dot(h.astype(cfg.dtype), layer["w2"].astype(cfg.dtype),
                     preferred_element_type=jnp.float32)
         x = x + h
-    x = _layer_norm(x, params["out_ln"]["g"], params["out_ln"]["b"])
+    return _layer_norm(x, params["out_ln"]["g"], params["out_ln"]["b"])
+
+
+def apply_encoder(params: Dict[str, Any], token_ids: jax.Array, mask: jax.Array,
+                  cfg: EncoderConfig) -> jax.Array:
+    """token ids [B, L] (or [B, L, G] subword features) -> L2-normalized
+    embeddings [B, d_model] f32."""
+    x = encode_hidden(params, token_ids, mask, cfg)
 
     m = mask[:, :, None]
     pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-6)

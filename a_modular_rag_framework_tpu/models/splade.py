@@ -1,0 +1,236 @@
+"""SPLADE-style learned sparse expansion head (pure JAX).
+
+BASELINE config 4 names the sparse channel "BM25/SPLADE": the reference
+ships only BM25 (`app/modules/retrieval/text_index.py`); this is the
+learned-sparse alternative — a term-expansion model that scores documents
+through the SAME impact-sorted CSR posting machinery as the BM25 channel
+(`ops/bm25.bm25_topk_sorted` with per-term query weights), so the sparse
+retrieval path is swappable between a lexical and a learned scorer.
+
+Model: the flagship encoder's transformer trunk (`models.encoder.
+encode_hidden` — shared MXU matmuls, shared subword hashing, so transfer
+behavior matches the dense head) followed by an MLM-style expansion head
+tied to the token embedding:
+
+    t      = LayerNorm(gelu(h @ W_t))            # [B, L, D]
+    logits = t @ tok_emb^T + bias                # [B, L, V]
+    w(v)   = max_l  mask_l * log1p(relu(logits)) # SPLADE-max pooling
+
+TPU-first notes:
+  - the [B, L, V] logits tensor never materializes: a `lax.scan` over the
+    L token positions runs one [B, D] @ [D, V] MXU matmul per step and
+    folds the max into a [B, V] carry (64 steps of a 2048x128x8192 matmul
+    beat one 4.3 GB intermediate at B=2048);
+  - training is in-batch InfoNCE over sparse dot products plus the FLOPS
+    regularizer (sum_t mean_batch(w_t)^2) that drives expansion sparsity;
+  - vocabulary = the encoder's hashed vocab (crc32 buckets), so no
+    external vocab file exists anywhere in the stack.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoder import (
+    EncoderConfig,
+    _layer_norm,
+    encode_hidden,
+    encode_tokens,
+    init_params,
+)
+
+
+@dataclass(frozen=True)
+class SpladeConfig:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    doc_top_terms: int = 64     # expansion terms kept per document
+    query_top_terms: int = 16   # expansion terms kept per query
+    flops_lambda: float = 3e-4  # FLOPS regularizer weight (doc side)
+    flops_lambda_q: float = 1e-4  # FLOPS regularizer weight (query side)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.encoder.vocab_size
+
+
+# ---------------- params ----------------
+
+
+def init_splade_params(rng: jax.Array, cfg: SpladeConfig) -> Dict[str, Any]:
+    """Encoder trunk params + the expansion head (transform + tied decoder
+    bias). The decoder weight IS ``tok_emb`` (tied, SPLADE/MLM-style)."""
+    k_trunk, k_head = jax.random.split(rng)
+    params = init_params(k_trunk, cfg.encoder)
+    d = cfg.encoder.d_model
+    params["splade_head"] = {
+        "wt": jax.random.normal(k_head, (d, d)) * (d ** -0.5),
+        "ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+        "bias": jnp.zeros((cfg.vocab_size,)),
+    }
+    return params
+
+
+# ---------------- forward ----------------
+
+
+def apply_splade(params: Dict[str, Any], token_ids: jax.Array,
+                 mask: jax.Array, cfg: SpladeConfig) -> jax.Array:
+    """token ids [B, L] (or [B, L, G]) -> sparse term weights [B, V] f32.
+
+    SPLADE-max over token positions; the per-position vocab logits are
+    produced one position at a time under `lax.scan` so no [B, L, V]
+    buffer exists (see module docstring).
+    """
+    ecfg = cfg.encoder
+    h = encode_hidden(params, token_ids, mask, ecfg)  # [B, L, D]
+    head = params["splade_head"]
+    t = jnp.dot(h.astype(ecfg.dtype), head["wt"].astype(ecfg.dtype),
+                preferred_element_type=jnp.float32)
+    t = _layer_norm(jax.nn.gelu(t), head["ln"]["g"], head["ln"]["b"])
+
+    emb_t = params["tok_emb"].T  # [D, V] (tied decoder)
+    bias = head["bias"]
+
+    def step(carry, inputs):
+        t_l, m_l = inputs  # [B, D], [B]
+        logits = jnp.dot(t_l.astype(ecfg.dtype), emb_t.astype(ecfg.dtype),
+                         preferred_element_type=jnp.float32) + bias
+        w = jnp.log1p(jax.nn.relu(logits)) * m_l[:, None]
+        return jnp.maximum(carry, w), None
+
+    B = token_ids.shape[0]
+    init = jnp.zeros((B, cfg.vocab_size), dtype=jnp.float32)
+    w, _ = jax.lax.scan(step, init,
+                        (t.transpose(1, 0, 2), mask.T))
+    return w
+
+
+def sparsify_topk(w: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """[B, V] dense expansion -> (term ids [B, k] int32 with -1 padding,
+    weights [B, k] f32). Zero-weight slots pad to -1 so the posting
+    machinery's valid-mask drops them."""
+    vals, ids = jax.lax.top_k(w, k)
+    ids = jnp.where(vals > 0, ids, -1).astype(jnp.int32)
+    vals = jnp.where(vals > 0, vals, 0.0)
+    return ids, vals
+
+
+# ---------------- training ----------------
+
+
+def splade_loss(params, batch, cfg: SpladeConfig, temperature: float = 1.0):
+    """In-batch InfoNCE over sparse dot products + FLOPS regularizers.
+
+    Raw dot products (temperature 1.0, the SPLADE convention): sparse
+    expansion dots are already O(10-100), unlike L2-normalized cosine.
+
+    batch: q_ids/q_mask/p_ids/p_mask as produced by
+    `TextEncoder.make_pair_batch` (same host featurizer)."""
+    wq = apply_splade(params, batch["q_ids"], batch["q_mask"], cfg)
+    wp = apply_splade(params, batch["p_ids"], batch["p_mask"], cfg)
+    logits = jnp.dot(wq, wp.T, preferred_element_type=jnp.float32)
+    logits = logits / temperature
+    labels = jnp.arange(wq.shape[0])
+    nce = jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[labels, labels])
+    # FLOPS regularizer (Paria et al. / SPLADE): sum_t (mean_batch w_t)^2
+    flops_p = jnp.sum(jnp.mean(wp, axis=0) ** 2)
+    flops_q = jnp.sum(jnp.mean(wq, axis=0) ** 2)
+    loss = nce + cfg.flops_lambda * flops_p + cfg.flops_lambda_q * flops_q
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+    nnz = jnp.mean(jnp.sum((wp > 0).astype(jnp.float32), axis=-1))
+    return loss, {"accuracy": acc, "nce": nce, "doc_nnz": nnz}
+
+
+def make_splade_train_step(cfg: SpladeConfig, learning_rate: float = 1e-3):
+    import optax
+
+    tx = optax.adamw(learning_rate)
+
+    def init_state(params):
+        return tx.init(params)
+
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: splade_loss(p, batch, cfg), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, **aux}
+
+    return init_state, train_step
+
+
+# ---------------- inference wrapper ----------------
+
+
+class SpladeEncoder:
+    """Host tokenize + device expand. `expand_texts` returns the sparse
+    (ids, weights) pairs that feed the CSR posting scorer."""
+
+    def __init__(self, cfg: Optional[SpladeConfig] = None, params=None,
+                 seed: int = 0):
+        self.cfg = cfg or SpladeConfig()
+        if params is None:
+            params = init_splade_params(jax.random.PRNGKey(seed), self.cfg)
+        self.params = params
+        self._apply = jax.jit(functools.partial(apply_splade, cfg=self.cfg))
+        self._expand = {}  # k -> jitted expand
+
+    def host_featurize(self, texts: List[str]):
+        return encode_tokens(list(texts), self.cfg.encoder)
+
+    def _expand_fn(self, k: int):
+        fn = self._expand.get(k)
+        if fn is None:
+            def expand(params, ids, mask):
+                return sparsify_topk(
+                    apply_splade(params, ids, mask, self.cfg), k)
+            fn = self._expand[k] = jax.jit(expand)
+        return fn
+
+    def expand_texts(self, texts: List[str], k: Optional[int] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (term ids [B, k] int32, weights [B, k] f32), -1-padded."""
+        k = k or self.cfg.query_top_terms
+        if not texts:
+            return (np.zeros((0, k), np.int32), np.zeros((0, k), np.float32))
+        ids, mask = self.host_featurize(texts)
+        t_ids, t_w = self._expand_fn(k)(
+            self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(t_ids), np.asarray(t_w)
+
+    def dense_expand(self, texts: List[str]) -> np.ndarray:
+        """[B, V] dense expansion weights (tests / training eval)."""
+        ids, mask = self.host_featurize(texts)
+        return np.asarray(self._apply(self.params, jnp.asarray(ids),
+                                      jnp.asarray(mask)))
+
+    def save(self, path: str) -> None:
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
+        np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
+                          for k, v in flat})
+
+    @classmethod
+    def load(cls, path: str, cfg: Optional[SpladeConfig] = None
+             ) -> "SpladeEncoder":
+        cfg = cfg or SpladeConfig()
+        data = np.load(path)
+        template = init_splade_params(jax.random.PRNGKey(0), cfg)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for k, v in flat:
+            key = jax.tree_util.keystr(k)
+            if key not in data:
+                raise KeyError(f"missing weight {key} in {path}")
+            arr = data[key]
+            if arr.shape != np.asarray(v).shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: {arr.shape} vs "
+                    f"{np.asarray(v).shape} — check SpladeConfig matches "
+                    "the checkpoint")
+            leaves.append(jnp.asarray(arr))
+        return cls(cfg, params=jax.tree_util.tree_unflatten(treedef, leaves))

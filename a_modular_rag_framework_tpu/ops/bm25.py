@@ -266,6 +266,7 @@ def bm25_topk_sorted(
     term_topm: int = 64,
     pool_k: int = 200,
     posting_packed: Optional[jax.Array] = None,  # [P, 2] (id, bitcast score)
+    term_weights: Optional[jax.Array] = None,  # [B, E, T] f32 >= 0
 ) -> Tuple[jax.Array, jax.Array]:
     """Scatter-free BM25 pool selection: (pool scores [B,K], pool ids [B,K]).
 
@@ -285,6 +286,13 @@ def bm25_topk_sorted(
     capacity window of `bm25_scores_batched`).
 
     Padding ids are ``n_docs`` and sort to the end with zero contribution.
+
+    ``term_weights`` (optional) scales each query term occurrence's gathered
+    contributions — the learned-sparse (SPLADE) scorer rides this seam:
+    score(q, d) = sum_t w_q(t) * impact(t, d) with the posting arrays
+    holding doc-side impacts. Weights must be >= 0 (the run-base cummax
+    relies on nondecreasing cumulative sums). None = BM25 behavior,
+    bit-identical to before the seam existed.
     """
     B, E, T = term_ids.shape
     N = n_docs
@@ -321,6 +329,8 @@ def bm25_topk_sorted(
         c_w = jnp.take(contribs_p, win_idx)
     docs_w = jnp.where(in_range, docs_w, N)
     c_w = jnp.where(in_range, c_w, 0.0)
+    if term_weights is not None:
+        c_w = c_w * term_weights.reshape(-1)[:, None]
 
     W = T * m
     docs_q = docs_w.reshape(B * E, W)
