@@ -78,16 +78,17 @@ def init_splade_params(rng: jax.Array, cfg: SpladeConfig) -> Dict[str, Any]:
 # ---------------- forward ----------------
 
 
-def apply_splade(params: Dict[str, Any], token_ids: jax.Array,
-                 mask: jax.Array, cfg: SpladeConfig) -> jax.Array:
-    """token ids [B, L] (or [B, L, G]) -> sparse term weights [B, V] f32.
+def splade_from_hidden(params: Dict[str, Any], h: jax.Array,
+                       mask: jax.Array, cfg: SpladeConfig) -> jax.Array:
+    """Expansion head over precomputed trunk hidden states [B, L, D] —
+    lets a hybrid program run the trunk ONCE and feed both the dense
+    pooling head and this head. -> [B, V] f32 term weights.
 
     SPLADE-max over token positions; the per-position vocab logits are
     produced one position at a time under `lax.scan` so no [B, L, V]
     buffer exists (see module docstring).
     """
     ecfg = cfg.encoder
-    h = encode_hidden(params, token_ids, mask, ecfg)  # [B, L, D]
     head = params["splade_head"]
     t = jnp.dot(h.astype(ecfg.dtype), head["wt"].astype(ecfg.dtype),
                 preferred_element_type=jnp.float32)
@@ -103,11 +104,18 @@ def apply_splade(params: Dict[str, Any], token_ids: jax.Array,
         w = jnp.log1p(jax.nn.relu(logits)) * m_l[:, None]
         return jnp.maximum(carry, w), None
 
-    B = token_ids.shape[0]
+    B = h.shape[0]
     init = jnp.zeros((B, cfg.vocab_size), dtype=jnp.float32)
     w, _ = jax.lax.scan(step, init,
                         (t.transpose(1, 0, 2), mask.T))
     return w
+
+
+def apply_splade(params: Dict[str, Any], token_ids: jax.Array,
+                 mask: jax.Array, cfg: SpladeConfig) -> jax.Array:
+    """token ids [B, L] (or [B, L, G]) -> sparse term weights [B, V] f32."""
+    h = encode_hidden(params, token_ids, mask, cfg.encoder)
+    return splade_from_hidden(params, h, mask, cfg)
 
 
 def sparsify_topk(w: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:

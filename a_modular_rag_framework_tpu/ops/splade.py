@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.splade import SpladeConfig, SpladeEncoder, apply_splade, sparsify_topk
+from ..models.encoder import encode_hidden
+from ..models.splade import (
+    SpladeConfig,
+    SpladeEncoder,
+    apply_splade,
+    sparsify_topk,
+    splade_from_hidden,
+)
 from .bm25 import bm25_topk_sorted
 
 
@@ -183,3 +190,145 @@ class SpladeRetriever:
                 if t >= 0:
                     out[b] += t_w[b, j] * docs[:, t]
         return out
+
+
+class SpladeDenseHybrid:
+    """BASELINE config 4 with the learned sparse channel: SPLADE posting
+    scores select a candidate pool, dense cosine over the pool rows fuses
+    in (min-max normalized, weighted sum), optionally followed by a
+    cross-encoder rerank batch — all compute on device.
+
+    The trunk runs ONCE per query batch: both the expansion head and the
+    dense pooling head read the same `encode_hidden` states (the SPLADE
+    param tree is a superset of the dense encoder's, so one tree powers
+    both). Corpus side, `build` packs the impact CSR AND the corpus
+    embedding matrix from the same trunk.
+    """
+
+    def __init__(self, encoder: SpladeEncoder, *,
+                 alpha_sparse: float = 0.5, alpha_dense: float = 0.5,
+                 pool_k: int = 100, term_topm: int = 256,
+                 build_batch: int = 512, reranker=None,
+                 rerank_top_m: int = 20):
+        self.encoder = encoder
+        self.cfg = encoder.cfg
+        self.alpha_sparse = float(alpha_sparse)
+        self.alpha_dense = float(alpha_dense)
+        self.pool_k = int(pool_k)
+        self.term_topm = int(term_topm)
+        self.build_batch = int(build_batch)
+        self.reranker = reranker  # models.cross_encoder.CrossEncoderReranker
+        self.rerank_top_m = int(rerank_top_m)
+        self.index: Optional[SpladeDeviceIndex] = None
+        self.texts: List[str] = []
+        self._dev = None
+        self._emb = None  # [N, D] f32 L2-normalized corpus embeddings
+        self._query_fn = {}
+
+    def _embed_pool(self, h, mask):
+        m = mask[:, :, None]
+        pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1),
+                                                      1e-6)
+        n = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+        return pooled / jnp.maximum(n, 1e-9)
+
+    def build(self, texts: Sequence[str]) -> None:
+        texts = list(texts)
+        self.texts = texts
+        N, Bb, K = len(texts), self.build_batch, self.cfg.doc_top_terms
+        all_ids = np.full((N, K), -1, dtype=np.int32)
+        all_w = np.zeros((N, K), dtype=np.float32)
+        embs = np.zeros((N, self.cfg.encoder.d_model), dtype=np.float32)
+
+        @jax.jit
+        def expand_and_embed(params, ids, mask):
+            h = encode_hidden(params, ids, mask, self.cfg.encoder)
+            w = splade_from_hidden(params, h, mask, self.cfg)
+            t_ids, t_w = sparsify_topk(w, K)
+            return t_ids, t_w, self._embed_pool(h, mask)
+
+        for start in range(0, N, Bb):
+            chunk = texts[start:start + Bb]
+            pad = Bb - len(chunk)
+            ids, mask = self.encoder.host_featurize(chunk + [""] * pad)
+            t_ids, t_w, e = expand_and_embed(
+                self.encoder.params, jnp.asarray(ids), jnp.asarray(mask))
+            all_ids[start:start + len(chunk)] = np.asarray(t_ids)[: len(chunk)]
+            all_w[start:start + len(chunk)] = np.asarray(t_w)[: len(chunk)]
+            embs[start:start + len(chunk)] = np.asarray(e)[: len(chunk)]
+        self.index = SpladeDeviceIndex.from_expansions(
+            all_ids, all_w, self.cfg.vocab_size)
+        self._dev = (jnp.asarray(self.index.doc_ids),
+                     jnp.asarray(self.index.impacts),
+                     jnp.asarray(self.index.row_ptr))
+        self._emb = jnp.asarray(embs)
+        self._query_fn = {}
+
+    def _make_query_fn(self, top_k: int):
+        n_docs = self.index.n_docs
+        topm = min(self.term_topm, n_docs)
+        P = min(self.pool_k, n_docs)
+        cfg = self.cfg
+        a_s, a_d = self.alpha_sparse, self.alpha_dense
+
+        def minmax(x, valid):
+            big = jnp.float32(1e30)
+            mn = jnp.min(jnp.where(valid, x, big), axis=1, keepdims=True)
+            mx = jnp.max(jnp.where(valid, x, -big), axis=1, keepdims=True)
+            return jnp.where(valid, (x - mn) / jnp.maximum(mx - mn, 1e-9),
+                             0.0)
+
+        def program(params, tok_ids, mask, doc_ids, impacts, row_ptr, emb):
+            h = encode_hidden(params, tok_ids, mask, cfg.encoder)
+            w = splade_from_hidden(params, h, mask, cfg)
+            t_ids, t_w = sparsify_topk(w, cfg.query_top_terms)
+            B, T = t_ids.shape
+            sp_s, sp_i = bm25_topk_sorted(
+                t_ids.reshape(B, 1, T), doc_ids, impacts, row_ptr,
+                n_docs=n_docs, term_topm=topm, pool_k=P,
+                term_weights=t_w.reshape(B, 1, T))
+            valid = sp_i >= 0
+            q = self._embed_pool(h, mask)  # [B, D] normalized
+            rows = jnp.where(valid, sp_i, 0)
+            pool_e = jnp.take(emb, rows, axis=0)  # [B, P, D]
+            cos = jnp.einsum("bd,bpd->bp", q, pool_e,
+                             preferred_element_type=jnp.float32)
+            fused = a_s * minmax(sp_s, valid) + a_d * minmax(cos, valid)
+            fused = jnp.where(valid, fused, -jnp.inf)
+            k = min(top_k, P)
+            top_s, pos = jax.lax.top_k(fused, k)
+            top_i = jnp.take_along_axis(sp_i, pos, axis=1)
+            top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+            top_s = jnp.where(jnp.isfinite(top_s), top_s, 0.0)
+            return top_i, top_s
+
+        return jax.jit(program)
+
+    def query_batch(self, queries: Sequence[str], top_k: int = 10
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (ids [B, top_k] int32, fused scores [B, top_k]); when a
+        reranker is attached, the top `rerank_top_m` of each row are
+        re-ordered by cross-encoder score (one [B*M, L] device batch)."""
+        if self.index is None:
+            raise RuntimeError("SpladeDenseHybrid.build() first")
+        queries = list(queries)
+        tok_ids, mask = self.encoder.host_featurize(queries)
+        key = (top_k, len(queries))
+        fn = self._query_fn.get(key)
+        if fn is None:
+            fn = self._query_fn[key] = self._make_query_fn(top_k)
+        ids, scores = fn(self.encoder.params, jnp.asarray(tok_ids),
+                         jnp.asarray(mask), *self._dev, self._emb)
+        # np.array (copy): the rerank stage writes the top-m prefix in
+        # place, and np.asarray of a device array is a read-only view
+        ids, scores = np.array(ids), np.array(scores)
+        if self.reranker is not None:
+            m = min(self.rerank_top_m, ids.shape[1])
+            cand_texts = [[self.texts[i] if i >= 0 else "" for i in row[:m]]
+                          for row in ids]
+            order = np.asarray(self.reranker.rerank_batch(queries,
+                                                          cand_texts),
+                               dtype=np.int64)
+            ids[:, :m] = np.take_along_axis(ids[:, :m], order, axis=1)
+            scores[:, :m] = np.take_along_axis(scores[:, :m], order, axis=1)
+        return ids, scores

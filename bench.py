@@ -479,6 +479,53 @@ def serving_block(idx, questions) -> dict:
     return {"serving": out}
 
 
+def splade_block(idx, samples, n_eval: int = 128):
+    """Learned-sparse channel row (BASELINE config 4 "BM25/SPLADE"):
+    standalone SpladeRetriever over the bench corpus with the shipped
+    checkpoint (data/splade.npz) — q/s + recall@10 + the hybrid
+    (sparse+dense fused) variant. Skipped when no checkpoint exists."""
+    ckpt = Path(__file__).resolve().parent / "data" / "splade.npz"
+    if not ckpt.exists():
+        return None
+    from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
+    from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
+    from a_modular_rag_framework_tpu.models.splade import SpladeEncoder
+    from a_modular_rag_framework_tpu.ops.splade import (
+        SpladeDenseHybrid,
+        SpladeRetriever,
+    )
+
+    enc = SpladeEncoder.load(str(ckpt))
+    texts = idx.corpus.texts()
+    out = {}
+    B = 1024
+    qs = [s["question"] for s in samples[:B]]
+    qs = (qs * ((B // len(qs)) + 1))[:B]
+
+    def eval_one(retriever, label):
+        t0 = time.time()
+        retriever.build(texts)
+        out[f"{label}_build_sec"] = round(time.time() - t0, 1)
+        retriever.query_batch(qs, top_k=TOP_K)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            ids, _ = retriever.query_batch(qs, top_k=TOP_K)
+            best = min(best, time.time() - t0)
+        out[f"{label}_qps"] = round(B / best, 1)
+        recs = []
+        for row, s in enumerate(samples[:n_eval]):
+            got = [idx.corpus.hit_id(int(i)) for i in ids[row] if i >= 0]
+            recs.append(recall_at_k(got, gold_hit_ids(s), TOP_K))
+        out[f"{label}_recall_at_10"] = round(float(np.mean(recs)), 4)
+
+    sparse = SpladeRetriever(enc)
+    eval_one(sparse, "sparse")
+    eval_one(SpladeDenseHybrid(enc), "hybrid")
+    out["doc_postings"] = int(sparse.index.row_ptr[-1])
+    return out
+
+
 def train_step_mfu() -> dict:
     """Encoder train step: analytic FLOPs vs measured step time."""
     import jax
@@ -638,6 +685,12 @@ def main() -> None:
         extras.update(serving_block(idx, questions))
     except Exception as e:
         extras["serving"] = {"error": repr(e)}
+    try:
+        sp = splade_block(idx, samples)
+        if sp:
+            extras["splade"] = sp
+    except Exception as e:
+        extras["splade"] = {"error": repr(e)[:200]}
 
     # ---- ~100k-passage scale row (colliding-distractor corpus) ----
     try:

@@ -149,6 +149,95 @@ def test_train_smoke_accuracy_off_chance():
     assert float(metrics["doc_nnz"]) > 0
 
 
+def test_hybrid_fuses_sparse_and_dense():
+    enc = SpladeEncoder(tiny_cfg(), seed=7)
+    from a_modular_rag_framework_tpu.ops.splade import SpladeDenseHybrid
+
+    h = SpladeDenseHybrid(enc, pool_k=8, build_batch=4)
+    h.build(TEXTS)
+    ids, scores = h.query_batch(["the river near Portland",
+                                 "reggae festival Kingston"], top_k=4)
+    assert ids.shape == (2, 4) and scores.shape == (2, 4)
+    assert (ids >= -1).all() and (ids < len(TEXTS)).all()
+    # returned rows are fused-score-descending
+    for b in range(2):
+        row = scores[b][ids[b] >= 0]
+        assert (np.diff(row) <= 1e-6).all()
+    # alpha_dense=0 reduces to pure sparse ordering over the pool
+    h_sparse = SpladeDenseHybrid(enc, alpha_sparse=1.0, alpha_dense=0.0,
+                                 pool_k=8, build_batch=4)
+    h_sparse.build(TEXTS)
+    r = SpladeRetriever(enc, term_topm=64, build_batch=4)
+    r.build(TEXTS)
+    ids_s, _ = h_sparse.query_batch(["the river near Portland"], top_k=4)
+    ids_r, _ = r.query_batch(["the river near Portland"], top_k=4)
+    np.testing.assert_array_equal(ids_s[0], ids_r[0][:4])
+
+
+def test_hybrid_rerank_stage_runs():
+    from a_modular_rag_framework_tpu.models.cross_encoder import (
+        CrossEncoderConfig,
+        CrossEncoderReranker,
+    )
+    from a_modular_rag_framework_tpu.ops.splade import SpladeDenseHybrid
+
+    enc = SpladeEncoder(tiny_cfg(), seed=2)
+    rr = CrossEncoderReranker(CrossEncoderConfig(
+        vocab_size=512, max_len=24, d_model=32, n_heads=2, n_layers=1,
+        d_ff=64))
+    h = SpladeDenseHybrid(enc, pool_k=8, build_batch=4, reranker=rr,
+                          rerank_top_m=4)
+    h.build(TEXTS)
+    ids, scores = h.query_batch(["who recorded the album"], top_k=6)
+    assert ids.shape == (1, 6)
+    # rerank permutes only the top-m prefix; the id SET there is unchanged
+    h2 = SpladeDenseHybrid(enc, pool_k=8, build_batch=4)
+    h2.build(TEXTS)
+    ids2, _ = h2.query_batch(["who recorded the album"], top_k=6)
+    assert set(ids[0, :4].tolist()) == set(ids2[0, :4].tolist())
+    np.testing.assert_array_equal(ids[0, 4:], ids2[0, 4:])
+
+
+def test_sharded_splade_matches_single_chip():
+    """Doc-range-sharded posting scoring over an 8-device mesh returns the
+    same global top-k (ids and scores) as the single-chip scorer."""
+    from jax.sharding import Mesh
+    from a_modular_rag_framework_tpu.parallel.sharded import (
+        shard_splade_postings,
+        sharded_splade_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    N, K, V, B, T = 41, 6, 64, 5, 4
+    doc_ids = rng.integers(0, V, size=(N, K)).astype(np.int32)
+    # distinct weights -> no score ties across docs
+    w = (rng.random((N, K)) + 0.01).astype(np.float32)
+    idx = SpladeDeviceIndex.from_expansions(doc_ids, w, vocab_size=V)
+
+    t_ids = rng.integers(0, V, size=(B, T)).astype(np.int32)
+    t_ids[0, -1] = -1  # padding slot exercises the valid mask
+    t_w = (rng.random((B, T)) + 0.1).astype(np.float32)
+
+    k = 7
+    ref_s, ref_i = bm25_topk_sorted(
+        jnp.asarray(t_ids)[:, None, :], jnp.asarray(idx.doc_ids),
+        jnp.asarray(idx.impacts), jnp.asarray(idx.row_ptr),
+        n_docs=N, term_topm=N, pool_k=k,
+        term_weights=jnp.asarray(t_w)[:, None, :])
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    d_sh, i_sh, rp_sh, rows = shard_splade_postings(idx, 8)
+    sh_s, sh_i = sharded_splade_topk(
+        jnp.asarray(t_ids), jnp.asarray(t_w),
+        jnp.asarray(d_sh), jnp.asarray(i_sh), jnp.asarray(rp_sh),
+        mesh=mesh, rows_per_shard=rows, n_docs=N, k=k, term_topm=N)
+
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(sh_i))
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(sh_s),
+                               rtol=1e-6)
+
+
 def test_save_load_roundtrip(tmp_path):
     cfg = tiny_cfg()
     enc = SpladeEncoder(cfg, seed=5)
