@@ -16,6 +16,31 @@ logger = logging.getLogger(__name__)
 _DONE = False
 
 
+def _host_fingerprint() -> str:
+    """Short stable id for the HOST CPU's feature set.
+
+    JAX's persistent-cache key does not include host machine features, so
+    XLA:CPU AOT executables compiled on one machine load on another and
+    can SIGILL (observed: a cache dir that survived a container move
+    logged 'Target machine feature +prefer-no-gather is not supported on
+    the host machine ... could lead to execution errors such as SIGILL').
+    Namespacing the cache dir by the cpuinfo flags line keeps entries from
+    a different host physically separate. TPU executables are unaffected
+    either way (compiled for the device, not the host)."""
+    import zlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return f"{zlib.crc32(line.encode()) & 0xffffffff:08x}"
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
@@ -38,7 +63,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
 
         path = (cache_dir
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                or str(Path.home() / ".cache" / "amrf_tpu_jax_cache"))
+                or str(Path.home() / ".cache" / "amrf_tpu_jax_cache"
+                       / _host_fingerprint()))
         Path(path).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache every program, even fast-compiling ones
