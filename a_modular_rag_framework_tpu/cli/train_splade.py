@@ -113,8 +113,8 @@ def main(argv=None) -> None:
     ap.add_argument("--n_layers", type=int, default=2)
     ap.add_argument("--vocab_size", type=int, default=8192)
     ap.add_argument("--subword_ngrams", type=int, default=8)
-    ap.add_argument("--doc_top_terms", type=int, default=64)
-    ap.add_argument("--query_top_terms", type=int, default=16)
+    ap.add_argument("--doc_top_terms", type=int, default=128)
+    ap.add_argument("--query_top_terms", type=int, default=32)
     ap.add_argument("--flops_lambda", type=float, default=3e-4)
     ap.add_argument("--out", type=str, default="data/splade.npz")
     ap.add_argument("--seed", type=int, default=0)

@@ -243,7 +243,7 @@ class SpladeDenseHybrid:
         @jax.jit
         def expand_and_embed(params, ids, mask):
             h = encode_hidden(params, ids, mask, self.cfg.encoder)
-            w = splade_from_hidden(params, h, mask, self.cfg)
+            w = splade_from_hidden(params, h, mask, self.cfg, ids)
             t_ids, t_w = sparsify_topk(w, K)
             return t_ids, t_w, self._embed_pool(h, mask)
 
@@ -280,7 +280,7 @@ class SpladeDenseHybrid:
 
         def program(params, tok_ids, mask, doc_ids, impacts, row_ptr, emb):
             h = encode_hidden(params, tok_ids, mask, cfg.encoder)
-            w = splade_from_hidden(params, h, mask, cfg)
+            w = splade_from_hidden(params, h, mask, cfg, tok_ids)
             t_ids, t_w = sparsify_topk(w, cfg.query_top_terms)
             B, T = t_ids.shape
             sp_s, sp_i = bm25_topk_sorted(

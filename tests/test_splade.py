@@ -126,6 +126,28 @@ def test_expand_is_sparse_and_nonnegative():
     assert float(np.abs(dense).max()) == 0.0
 
 
+def test_untrained_expansion_is_lexical():
+    """Cold-start property behind from-scratch trainability: at init the
+    b0 lexical prior + small expansion gate make every own-token bucket
+    outrank every expansion term, so the InfoNCE signal is the lexical
+    overlap (the previous head had noise expansions at init — unrelated
+    passages outscored gold ones and 300-step training never left the
+    tied-score basin; see models/splade.py docstring)."""
+    enc = SpladeEncoder(tiny_cfg(), seed=4)
+    q = "Where was Maria Lopez born"
+    gold = "Maria Lopez was born in Lisbon"
+    other = "The chemical formula of water is boring"
+    w = enc.dense_expand([q, gold, other])
+    ids, mask = enc.host_featurize([q])
+    own = np.zeros(w.shape[1], dtype=bool)
+    own[np.unique(ids[0][mask[0] > 0])] = True
+    assert w[0][own].min() > w[0][~own].max()
+    # and the gold passage outscores a distractor by a clear margin (the
+    # small-gate expansion terms add a noise FLOOR shared by every doc;
+    # what ranks is the margin, carried by the boosted shared buckets)
+    assert float(w[0] @ w[1]) - float(w[0] @ w[2]) > 1.0
+
+
 def test_train_smoke_accuracy_off_chance():
     cfg = tiny_cfg()
     enc = SpladeEncoder(cfg, seed=1)
