@@ -14,8 +14,27 @@ tied to the token embedding, plus a learned lexical prior:
 
     t      = LayerNorm(gelu(h @ W_t))            # [B, L, D]
     logits = t @ tok_emb^T + bias                # [B, L, V]
-    logits[l, own-token buckets of position l] += b0   # lexical prior
+    logits[l, own-token buckets of position l] += b0 * lex_w[bucket]
     w(v)   = max_l  mask_l * log1p(relu(logits)) # SPLADE-max pooling
+
+`lex_w` is a learnable per-bucket impact vector (DeepImpact-style),
+initialized from corpus idf by `idf_lexical_prior` before training: a
+uniform prior scores "was born in" matches as high as entity matches,
+so on held-out questions distractor sentences sharing only stop-words
+crowd out gold ones (measured: uniform prior held-out recall@10 0.23 at
+the 60-step point vs BM25's 0.5; idf init closes the gap — see
+cli/train_splade.py). Unseen buckets get the maximum idf, which is what
+makes NOVEL entity tokens rank at held-out time.
+
+With subword featurization the prior lands ONLY on each position's
+whole-word bucket (slot 0 of `_word_feature_ids`): char n-gram buckets
+collide across words, and scattering the prior onto them makes sparse
+exact-match scoring fuzzy — measured at init, prior-on-all-slots gets
+held-out recall@10 0.09 while prior-on-word-bucket gets ~BM25 parity.
+The char n-gram buckets stay available to the LEARNED expansion (the
+tied decoder can emit them), so fuzzy subword matching is something
+training can opt into where it pays, instead of a structural floor of
+noise.
 
 The b0 self-token boost (uniCOIL / DeepImpact lineage: score the terms
 that are PRESENT, learn expansion on top) is what makes from-scratch
@@ -102,8 +121,43 @@ def init_splade_params(rng: jax.Array, cfg: SpladeConfig) -> Dict[str, Any]:
         # (measured: 1/16 top query terms were own-token buckets and an
         # unrelated document outscored the gold one at init)
         "g_exp": jnp.asarray(0.1, dtype=jnp.float32),
+        # per-bucket lexical impact (DeepImpact lineage), multiplied into
+        # the b0 self-token boost. Ones = uniform; training CLIs replace
+        # it with corpus idf via `idf_lexical_prior` before the first
+        # step (module docstring)
+        "lex_w": jnp.ones((cfg.vocab_size,), dtype=jnp.float32),
     }
     return params
+
+
+def idf_lexical_prior(texts: List[str], cfg: SpladeConfig,
+                      batch: int = 1024) -> np.ndarray:
+    """Per-bucket idf over ``texts``' WHOLE-WORD buckets (the only slots
+    the lexical prior scatters onto — module docstring), normalized to
+    mean 1 over the observed buckets so b0 stays the scale knob. Unseen
+    buckets get the maximum idf — novel entity tokens at held-out time
+    score like the rarest training terms, not like noise.
+
+    -> float32 [vocab_size], drop-in value for params["splade_head"]["lex_w"].
+    """
+    V = cfg.vocab_size
+    df = np.zeros((V,), dtype=np.int64)
+    n = 0
+    for start in range(0, len(texts), batch):
+        ids, mask = encode_tokens(list(texts[start:start + batch]),
+                                  cfg.encoder)
+        ids = np.asarray(ids)
+        if ids.ndim == 3:
+            ids = ids[:, :, 0]
+        mask = np.asarray(mask)
+        for row in range(ids.shape[0]):
+            df[np.unique(ids[row][mask[row] > 0])] += 1
+            n += 1
+    idf = np.log1p(n / (1.0 + df)).astype(np.float32)
+    seen = df > 0
+    if seen.any():
+        idf /= float(idf[seen].mean())
+    return idf
 
 
 # ---------------- forward ----------------
@@ -133,22 +187,21 @@ def splade_from_hidden(params: Dict[str, Any], h: jax.Array,
     bias = head["bias"]
     b0 = head["b0"]
     g_exp = head["g_exp"]
+    lex_w = head["lex_w"]
     B = h.shape[0]
-    subword = token_ids.ndim == 3
-    # duplicate buckets accumulate (a word's padded feature slots repeat
-    # its whole-word bucket — encoder.encode_tokens), deterministically
-    # tilting the prior toward the whole-word bucket: harmless, and
-    # identical between training and serving
-    boost = b0 if not subword else b0 / token_ids.shape[2]
-    rows = jnp.arange(B) if not subword else jnp.arange(B)[:, None]
-    ids_x = token_ids.T if not subword else token_ids.transpose(1, 0, 2)
+    # prior target = the whole-word bucket only (slot 0 in subword mode;
+    # see module docstring — char n-gram buckets collide across words
+    # and must not carry the exact-match prior)
+    word_ids = token_ids if token_ids.ndim == 2 else token_ids[:, :, 0]
+    rows = jnp.arange(B)
+    ids_x = word_ids.T
 
     def step(carry, inputs):
-        t_l, m_l, ids_l = inputs  # [B, D], [B], [B] | [B, G]
+        t_l, m_l, ids_l = inputs  # [B, D], [B], [B]
         logits = g_exp * jnp.dot(
             t_l.astype(ecfg.dtype), emb_t.astype(ecfg.dtype),
             preferred_element_type=jnp.float32) + bias
-        logits = logits.at[rows, ids_l].add(boost)
+        logits = logits.at[rows, ids_l].add(b0 * lex_w[ids_l])
         w = jnp.log1p(jax.nn.relu(logits)) * m_l[:, None]
         return jnp.maximum(carry, w), None
 

@@ -148,6 +148,44 @@ def test_untrained_expansion_is_lexical():
     assert float(w[0] @ w[1]) - float(w[0] @ w[2]) > 1.0
 
 
+def test_subword_prior_targets_word_buckets_only():
+    """With subword featurization the lexical prior lands ONLY on each
+    position's whole-word bucket: char n-gram buckets collide across
+    words, and carrying the exact-match prior there makes sparse scoring
+    fuzzy (measured: held-out recall@10 0.09 prior-on-all-slots vs ~BM25
+    parity prior-on-word-bucket; models/splade.py docstring)."""
+    cfg = SpladeConfig(
+        encoder=EncoderConfig(vocab_size=4096, max_len=16, d_model=32,
+                              n_heads=2, n_layers=1, d_ff=64,
+                              subword_ngrams=6),
+        doc_top_terms=32, query_top_terms=8)
+    enc = SpladeEncoder(cfg, seed=6)
+    text = "Mirabelle Quovandis researches aeronautics"
+    w = enc.dense_expand([text])[0]
+    ids, mask = enc.host_featurize([text])
+    word_buckets = np.unique(ids[0][mask[0] > 0][:, 0])
+    ngram_only = np.setdiff1d(np.unique(ids[0][mask[0] > 0][:, 1:]),
+                              word_buckets)
+    assert w[word_buckets].min() > w[ngram_only].max()
+
+
+def test_idf_prior_ranks_rare_terms_above_common():
+    from a_modular_rag_framework_tpu.models.splade import idf_lexical_prior
+    import zlib
+
+    cfg = tiny_cfg()
+    corpus = [f"the sample number {i} of the set" for i in range(50)]
+    corpus.append("the quokka appears once")
+    lex = idf_lexical_prior(corpus, cfg)
+    V = cfg.vocab_size
+    b_rare = zlib.crc32(b"quokka") % V
+    b_common = zlib.crc32(b"the") % V
+    assert lex[b_rare] > lex[b_common]
+    # unseen buckets score at the max (novel entities at held-out time)
+    b_unseen = zlib.crc32(b"zyzzyva") % V
+    assert lex[b_unseen] >= lex[b_rare]
+
+
 def test_train_smoke_accuracy_off_chance():
     cfg = tiny_cfg()
     enc = SpladeEncoder(cfg, seed=1)
