@@ -488,7 +488,7 @@ def splade_block(idx, samples, n_eval: int = 128):
     if not ckpt.exists():
         return None
     from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
-    from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
+    from a_modular_rag_framework_tpu.eval.metrics import mrr, recall_at_k
     from a_modular_rag_framework_tpu.models.splade import SpladeEncoder
     from a_modular_rag_framework_tpu.ops.splade import (
         SpladeDenseHybrid,
@@ -502,6 +502,15 @@ def splade_block(idx, samples, n_eval: int = 128):
     qs = [s["question"] for s in samples[:B]]
     qs = (qs * ((B // len(qs)) + 1))[:B]
 
+    def quality(ids):
+        recs, rrs = [], []
+        for row, s in enumerate(samples[:n_eval]):
+            got = [idx.corpus.hit_id(int(i)) for i in ids[row] if i >= 0]
+            gold = gold_hit_ids(s)
+            recs.append(recall_at_k(got, gold, TOP_K))
+            rrs.append(mrr(got, gold))
+        return round(float(np.mean(recs)), 4), round(float(np.mean(rrs)), 4)
+
     def eval_one(retriever, label):
         t0 = time.time()
         retriever.build(texts)
@@ -513,16 +522,35 @@ def splade_block(idx, samples, n_eval: int = 128):
             ids, _ = retriever.query_batch(qs, top_k=TOP_K)
             best = min(best, time.time() - t0)
         out[f"{label}_qps"] = round(B / best, 1)
-        recs = []
-        for row, s in enumerate(samples[:n_eval]):
-            got = [idx.corpus.hit_id(int(i)) for i in ids[row] if i >= 0]
-            recs.append(recall_at_k(got, gold_hit_ids(s), TOP_K))
-        out[f"{label}_recall_at_10"] = round(float(np.mean(recs)), 4)
+        rec, rr = quality(ids)
+        out[f"{label}_recall_at_10"] = rec
+        out[f"{label}_mrr"] = rr
 
     sparse = SpladeRetriever(enc)
     eval_one(sparse, "sparse")
     eval_one(SpladeDenseHybrid(enc), "hybrid")
     out["doc_postings"] = int(sparse.index.row_ptr[-1])
+
+    # lexical BM25 over the same corpus/questions at the same top_k — the
+    # baseline the learned-sparse channel must be read against (the
+    # reference's only sparse channel is BM25, text_index.py:14-100)
+    import jax.numpy as jnp
+
+    from a_modular_rag_framework_tpu.ops.bm25 import (
+        Bm25DeviceIndex,
+        bm25_topk_sorted,
+    )
+
+    bidx = Bm25DeviceIndex.build(texts)
+    bidx.ensure_scores()
+    t = bidx.encode_query_terms(qs[:n_eval], max_terms=16)
+    _, bm_ids = bm25_topk_sorted(
+        jnp.asarray(t)[:, None, :], jnp.asarray(bidx.doc_ids),
+        jnp.asarray(bidx.scores), jnp.asarray(bidx.row_ptr),
+        n_docs=bidx.n_docs, term_topm=min(256, bidx.n_docs), pool_k=TOP_K)
+    rec, rr = quality(np.asarray(bm_ids))
+    out["bm25_baseline_recall_at_10"] = rec
+    out["bm25_baseline_mrr"] = rr
     return out
 
 
