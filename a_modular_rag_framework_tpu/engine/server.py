@@ -2,9 +2,22 @@
 
 BASELINE.json config 5's serving story: many concurrent callers, one
 device-resident index. Requests land in a queue; a dispatcher thread drains
-up to ``max_batch`` at a time into a single engine call (bucketed shapes
-mean no recompiles), and futures resolve per-caller. The host agent loop
-never starves the device: while one batch executes, the next accumulates.
+up to ``max_batch`` queries at a time into a single engine call (bucketed
+shapes mean no recompiles), and futures resolve per-caller. The host agent
+loop never starves the device: while one batch executes, the next
+accumulates.
+
+Two client shapes:
+
+- ``submit(query)`` -> Future[List[Hit]] — one query per future. Each
+  resolution wakes one waiting thread, so closed-loop single-query clients
+  cap on Python thread-switch overhead (~10k submits/s machinery ceiling
+  measured in-process) long before the device does.
+- ``submit_many(queries)`` -> Future[List[List[Hit]]] — a sub-batch rides
+  the dispatch loop as ONE unit: one queue entry, one future, one wakeup.
+  This is the throughput surface for callers that have batches (agents
+  fanning out expansions, bulk scorers), and what lets serving approach
+  the pipelined-loop q/s instead of the thread-wakeup ceiling.
 """
 from __future__ import annotations
 
@@ -20,12 +33,15 @@ from ..core.dto import Hit
 
 @dataclass
 class _Request:
-    query: str
-    expansions: Optional[Sequence[str]]
-    seed_rows: Optional[Sequence[int]]
+    """One dispatch unit: ``queries`` is a list (singular submits wrap)."""
+
+    queries: List[str]
+    expansions: Optional[List[List[str]]]
+    seed_rows: Optional[List[List[int]]]
     top_k: Optional[int]
     graph_window: Optional[int]
     mode: str = "single"  # "single" | "iterative" (bridge-entity 2-hop)
+    unwrap: bool = False  # True for submit(): resolve List[Hit], not [[Hit]]
     future: Future = field(default_factory=Future)
 
 
@@ -47,6 +63,8 @@ class QueryServer:
         server.start()
         fut = server.submit("who wrote x")
         hits = fut.result()   # List[Hit]
+        futs = server.submit_many(["q1", "q2"])
+        (h1, h2) = futs.result()
         server.stop()
     """
 
@@ -109,11 +127,44 @@ class QueryServer:
         """Returns a Future resolving to List[Hit]. ``mode="iterative"``
         serves the bridge-entity 2-hop quality mode (multihop.py) through
         the same micro-batching dispatch loop."""
+        return self._submit_unit(
+            [query],
+            expansions=[list(expansions)] if expansions else None,
+            seed_rows=[list(seed_rows)] if seed_rows else None,
+            top_k=top_k, graph_window=graph_window, mode=mode, unwrap=True)
+
+    def submit_many(
+        self,
+        queries: Sequence[str],
+        *,
+        expansions: Optional[Sequence[Sequence[str]]] = None,
+        seed_rows: Optional[Sequence[Sequence[int]]] = None,
+        top_k: Optional[int] = None,
+        graph_window: Optional[int] = None,
+        mode: str = "single",
+    ) -> Future:
+        """Submit a sub-batch as one unit: one Future resolving to
+        ``List[List[Hit]]`` (one hit list per query, in order). The unit
+        joins the same micro-batch dispatch as singular submits but costs
+        one queue entry and one waiter wakeup regardless of its size."""
+        if not queries:
+            f: Future = Future()
+            f.set_result([])
+            return f
+        return self._submit_unit(
+            list(queries),
+            expansions=[list(e) for e in expansions] if expansions else None,
+            seed_rows=[list(s) for s in seed_rows] if seed_rows else None,
+            top_k=top_k, graph_window=graph_window, mode=mode, unwrap=False)
+
+    def _submit_unit(self, queries, *, expansions, seed_rows, top_k,
+                     graph_window, mode, unwrap) -> Future:
         if mode not in ("single", "iterative"):
             raise ValueError(f"unknown mode {mode!r} "
                              "(expected single | iterative)")
-        req = _Request(query=query, expansions=expansions, seed_rows=seed_rows,
-                       top_k=top_k, graph_window=graph_window, mode=mode)
+        req = _Request(queries=queries, expansions=expansions,
+                       seed_rows=seed_rows, top_k=top_k,
+                       graph_window=graph_window, mode=mode, unwrap=unwrap)
         self._q.put(req)
         return req.future
 
@@ -123,30 +174,46 @@ class QueryServer:
     # ---- dispatcher ----
 
     def _drain(self) -> List[_Request]:
+        """Collect units until ``max_batch`` queries are gathered or the
+        wait budget expires. A unit is never split; one oversized unit is
+        dispatched alone (the engine's buckets handle any batch size)."""
         batch: List[_Request] = []
         try:
             batch.append(self._q.get(timeout=0.05))
         except queue.Empty:
             return batch
-        deadline = time.time() + self.max_wait_s
-        while len(batch) < self.max_batch:
-            timeout = deadline - time.time()
-            if timeout <= 0:
-                break
+        n = len(batch[0].queries)
+        deadline = 0.0  # lazily armed: most sustained loads fill from backlog
+        while n < self.max_batch:
             try:
-                batch.append(self._q.get(timeout=timeout))
+                req = self._q.get_nowait()
             except queue.Empty:
-                break
+                now = time.time()
+                if deadline == 0.0:
+                    deadline = now + self.max_wait_s
+                timeout = deadline - now
+                if timeout <= 0:
+                    break
+                try:
+                    req = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+            batch.append(req)
+            n += len(req.queries)
         return batch
 
     def _finish(self, pending: Any, reqs: List[_Request]) -> None:
         try:
             result = pending.result()
-            for i, r in enumerate(reqs):
-                r.future.set_result(self.engine.hydrate_hits(result, i))
+            row = 0
+            for r in reqs:
+                hits = [self.engine.hydrate_hits(result, row + j)
+                        for j in range(len(r.queries))]
+                r.future.set_result(hits[0] if r.unwrap else hits)
+                row += len(r.queries)
             self.stats["batches"] += 1
-            self.stats["queries"] += len(reqs)
-            self.stats["batch_sizes"].append(len(reqs))
+            self.stats["queries"] += row
+            self.stats["batch_sizes"].append(row)
         except Exception as e:  # pragma: no cover
             for r in reqs:
                 if not r.future.done():
@@ -166,7 +233,7 @@ class QueryServer:
                 while inflight:
                     self._finish(*inflight.popleft())
                 continue
-            # requests sharing (top_k, window, seed-mode) can share a program;
+            # units sharing (top_k, window, seed-mode) can share a program;
             # group to keep shapes uniform
             groups: Dict[Any, List[_Request]] = {}
             for r in batch:
@@ -174,14 +241,19 @@ class QueryServer:
                        r.mode)
                 groups.setdefault(key, []).append(r)
             for (top_k, window, has_seeds, mode), reqs in groups.items():
-                kwargs = dict(
-                    expansions=[list(r.expansions or []) for r in reqs],
-                    seed_rows=([list(r.seed_rows or []) for r in reqs]
-                               if has_seeds else None),
-                    top_k=top_k,
-                    graph_window=window,
-                )
-                queries = [r.query for r in reqs]
+                queries: List[str] = []
+                expansions: List[List[str]] = []
+                seeds: List[List[int]] = []
+                for r in reqs:
+                    queries.extend(r.queries)
+                    expansions.extend(r.expansions or
+                                      [[] for _ in r.queries])
+                    if has_seeds:
+                        seeds.extend(r.seed_rows or
+                                     [[] for _ in r.queries])
+                kwargs = dict(expansions=expansions,
+                              seed_rows=seeds if has_seeds else None,
+                              top_k=top_k, graph_window=window)
                 try:
                     if mode == "iterative":
                         from ..modules.retrieval.multihop import (

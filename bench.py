@@ -416,7 +416,8 @@ def serving_block(idx, questions) -> dict:
     eng = TPUQueryEngine(
         idx,
         config=EngineConfig(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
-                            bm25_posting_cap=1024, batch_buckets=(64, 256),
+                            bm25_posting_cap=1024,
+                            batch_buckets=(64, 256, 2048),
                             query_df_ratio_max=0.05, bm25_term_topm=32,
                             graph_wave_dtype="bfloat16",
                             alpha_text=0.15, alpha_graph=0.70,
@@ -425,6 +426,8 @@ def serving_block(idx, questions) -> dict:
     )
     eng.query_batch(questions[:256])  # compile/warm the 256 bucket
     eng.query_batch(questions[:64])   # and the 64 bucket
+    qs2048 = (questions * ((2048 // len(questions)) + 1))[:2048]
+    eng.query_batch(qs2048)           # and the 2048 bucket (batched row)
 
     out = {}
     # 64 clients is latency-bound by the client count itself (each client
@@ -445,11 +448,11 @@ def serving_block(idx, questions) -> dict:
         with QueryServer(eng, max_batch=256, max_wait_ms=2.0) as server:
             latencies: list = []
             lock = threading.Lock()
-            stop_at = time.time() + run_s
+            stop_box = [float("inf")]
 
             def client(seed: int) -> None:
                 i = seed
-                while time.time() < stop_at:
+                while time.time() < stop_box[0]:
                     q = questions[i % len(questions)]
                     i += 1
                     t0 = time.time()
@@ -460,6 +463,7 @@ def serving_block(idx, questions) -> dict:
 
             # warmup pass so compile/queue ramp doesn't pollute latencies
             server.submit(questions[0], mode=mode).result()
+            stop_box[0] = time.time() + run_s
             t_start = time.time()
             threads = [threading.Thread(target=client, args=(j * 31,))
                        for j in range(n_clients)]
@@ -476,6 +480,48 @@ def serving_block(idx, questions) -> dict:
                 "p50_ms": round(float(lat[int(0.50 * (lat.size - 1))]) * 1e3, 1),
                 "p99_ms": round(float(lat[int(0.99 * (lat.size - 1))]) * 1e3, 1),
             } if lat.size else {"clients": n_clients, "completed": 0}
+
+    # batched clients (submit_many): callers that HAVE sub-batches (agent
+    # fan-out, bulk scorers) ride the dispatch loop as one unit each — one
+    # queue entry + one wakeup per 128 queries, so serving approaches the
+    # pipelined-loop q/s instead of the ~10k/s Python thread-wakeup
+    # ceiling that binds the single-query closed-loop rows above
+    with QueryServer(eng, max_batch=2048, max_wait_ms=2.0) as server:
+        latencies = []
+        lock = threading.Lock()
+        stop_box = [float("inf")]
+        unit = 128
+
+        def bclient(seed: int) -> None:
+            i = seed
+            while time.time() < stop_box[0]:
+                qs = [questions[(i + j) % len(questions)]
+                      for j in range(unit)]
+                i += unit
+                t0 = time.time()
+                server.submit_many(qs).result()
+                dt = time.time() - t0
+                with lock:
+                    latencies.append(dt)
+
+        server.submit_many(questions[:unit]).result()  # warm
+        stop_box[0] = time.time() + 4.0
+        t_start = time.time()
+        threads = [threading.Thread(target=bclient, args=(j * 131,))
+                   for j in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.time() - t_start
+        lat = np.sort(np.asarray(latencies, dtype=np.float64))
+        out["batched_16x128"] = {
+            "clients": 16, "unit": unit,
+            "completed": int(lat.size) * unit,
+            "qps": round(lat.size * unit / elapsed, 1) if elapsed else 0.0,
+            "p50_ms": round(float(lat[int(0.50 * (lat.size - 1))]) * 1e3, 1),
+            "p99_ms": round(float(lat[int(0.99 * (lat.size - 1))]) * 1e3, 1),
+        } if lat.size else {"clients": 16, "completed": 0}
     return {"serving": out}
 
 

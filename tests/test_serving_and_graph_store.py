@@ -70,6 +70,60 @@ def test_server_mixed_params_grouped(engine):
     assert len(r1) <= 3 and len(r2) <= 5
 
 
+def test_server_submit_many_matches_singular(engine):
+    """A submit_many unit resolves to the same hits, in order, as the
+    same queries submitted singly (both ride the same engine batch)."""
+    eng, samples = engine
+    qs = [s["question"] for s in samples[:6]]
+    with QueryServer(eng, max_batch=16, max_wait_ms=20) as server:
+        singles = [server.submit(q) for q in qs]
+        single_hits = [f.result(timeout=60) for f in singles]
+        many = server.submit_many(qs).result(timeout=60)
+    assert len(many) == len(qs)
+    for got, want in zip(many, single_hits):
+        assert [h.id for h in got] == [h.id for h in want]
+
+
+def test_server_submit_many_mixed_with_singles(engine):
+    """Batched units and singular submits share one micro-batch."""
+    eng, samples = engine
+    qs = [s["question"] for s in samples[:4]]
+    with QueryServer(eng, max_batch=32, max_wait_ms=30) as server:
+        fm = server.submit_many(qs[:3])
+        fs = server.submit(qs[3])
+        many, single = fm.result(60), fs.result(60)
+    assert len(many) == 3 and all(m for m in many)
+    assert single and single[0].id.startswith("sent::")
+    # the unit + the single landed in one engine dispatch
+    assert max(server.stats["batch_sizes"]) >= 4
+
+
+def test_server_submit_many_oversized_unit(engine):
+    """A unit larger than max_batch still dispatches (never split)."""
+    eng, samples = engine
+    qs = [s["question"] for s in samples] * 2  # 24 > max_batch=8
+    with QueryServer(eng, max_batch=8, max_wait_ms=10) as server:
+        out = server.submit_many(qs).result(timeout=60)
+    assert len(out) == len(qs) and all(out)
+
+
+def test_server_submit_many_iterative_and_empty(engine):
+    eng, samples = engine
+    qs = [s["question"] for s in samples[:3]]
+    from a_modular_rag_framework_tpu.modules.retrieval.multihop import (
+        iterative_retrieve,
+    )
+
+    direct_ids, _, _, _ = iterative_retrieve(eng, qs, top_k=5)
+    with QueryServer(eng, max_batch=8, max_wait_ms=10) as server:
+        out = server.submit_many(qs, mode="iterative", top_k=5).result(60)
+        assert server.submit_many([]).result(1) == []
+    for row, hits in enumerate(out):
+        want = [eng.index.corpus.hit_id(int(i))
+                for i in direct_ids[row] if i >= 0]
+        assert [h.id for h in hits] == want
+
+
 def test_server_threaded_clients(engine):
     eng, samples = engine
     with QueryServer(eng, max_batch=8, max_wait_ms=10) as server:
