@@ -29,6 +29,7 @@ from .telemetry.sinks import (
 DEFAULT_SETTINGS_PATH = "config/settings.yaml"
 
 _SYSTEM_CACHE: Dict[str, Tuple[Any, Any]] = {}
+_NODE_CTX_CACHE: Dict[str, Any] = {}
 
 
 def new_trace_id() -> str:
@@ -76,11 +77,28 @@ def init_system(
                         dataset_loader=dataset_loader)
     if use_cache:
         _SYSTEM_CACHE[cache_key] = (wf, sink)
+        _NODE_CTX_CACHE[cache_key] = node_ctx
     return wf, sink
+
+
+def get_node_ctx(
+    settings_path: str = DEFAULT_SETTINGS_PATH,
+    *,
+    runs_dir: str = "runs",
+):
+    """The NodeContext behind a cached ``init_system`` build (the module
+    instances incl. the retrieval backend/engine). Builds the system if
+    not cached yet — serving fronts use this to share ONE device-resident
+    engine between the raw retrieval endpoints and ``answer_question``."""
+    cache_key = f"{Path(settings_path).resolve()}::{runs_dir}"
+    if cache_key not in _NODE_CTX_CACHE:
+        init_system(settings_path, runs_dir=runs_dir)
+    return _NODE_CTX_CACHE[cache_key]
 
 
 def reset_system_cache() -> None:
     _SYSTEM_CACHE.clear()
+    _NODE_CTX_CACHE.clear()
 
 
 def answer_question(
