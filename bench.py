@@ -597,6 +597,34 @@ def splade_block(idx, samples, n_eval: int = 128):
     rec, rr = quality(np.asarray(bm_ids))
     out["bm25_baseline_recall_at_10"] = rec
     out["bm25_baseline_mrr"] = rr
+
+    # the variety checkpoint is where learned expansion earns score beyond
+    # the idf-prior floor (docs/SPLADE_TRAIN.json): paraphrased predicates
+    # give vocabulary mismatch for expansion to bridge. Measure it
+    # in-domain — doc expansions computed over the indexed (== training)
+    # corpus, the deployment regime — next to BM25 on the same sentences.
+    vckpt = ckpt.with_name("splade_variety.npz")
+    if vckpt.exists():
+        from a_modular_rag_framework_tpu.cli.train_splade import (
+            eval_bm25,
+            eval_sparse,
+        )
+        from a_modular_rag_framework_tpu.core.dataset_loader import (
+            SyntheticHotpotQALoader,
+        )
+
+        vsamples = SyntheticHotpotQALoader(
+            {"count": 512, "seed": 0, "unique_entities": True,
+             "variety": True}).load()
+        v = eval_sparse(vsamples, SpladeRetriever(SpladeEncoder.load(
+            str(vckpt))))
+        vb = eval_bm25(vsamples)
+        out["variety_in_domain"] = {
+            "splade_recall_at_10": round(v["recall_at_10"], 4),
+            "splade_mrr": round(v["mrr"], 4),
+            "bm25_recall_at_10": round(vb["recall_at_10"], 4),
+            "bm25_mrr": round(vb["mrr"], 4),
+        }
     return out
 
 
