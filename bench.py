@@ -603,28 +603,33 @@ def splade_block(idx, samples, n_eval: int = 128):
     # give vocabulary mismatch for expansion to bridge. Measure it
     # in-domain — doc expansions computed over the indexed (== training)
     # corpus, the deployment regime — next to BM25 on the same sentences.
+    # own try/except: a failure here must not discard the sparse/hybrid/
+    # BM25 rows already computed above (ADVICE r3)
     vckpt = ckpt.with_name("splade_variety.npz")
     if vckpt.exists():
-        from a_modular_rag_framework_tpu.cli.train_splade import (
-            eval_bm25,
-            eval_sparse,
-        )
-        from a_modular_rag_framework_tpu.core.dataset_loader import (
-            SyntheticHotpotQALoader,
-        )
+        try:
+            from a_modular_rag_framework_tpu.cli.train_splade import (
+                eval_bm25,
+                eval_sparse,
+            )
+            from a_modular_rag_framework_tpu.core.dataset_loader import (
+                SyntheticHotpotQALoader,
+            )
 
-        vsamples = SyntheticHotpotQALoader(
-            {"count": 512, "seed": 0, "unique_entities": True,
-             "variety": True}).load()
-        v = eval_sparse(vsamples, SpladeRetriever(SpladeEncoder.load(
-            str(vckpt))))
-        vb = eval_bm25(vsamples)
-        out["variety_in_domain"] = {
-            "splade_recall_at_10": round(v["recall_at_10"], 4),
-            "splade_mrr": round(v["mrr"], 4),
-            "bm25_recall_at_10": round(vb["recall_at_10"], 4),
-            "bm25_mrr": round(vb["mrr"], 4),
-        }
+            vsamples = SyntheticHotpotQALoader(
+                {"count": 512, "seed": 0, "unique_entities": True,
+                 "variety": True}).load()
+            v = eval_sparse(vsamples, SpladeRetriever(SpladeEncoder.load(
+                str(vckpt))))
+            vb = eval_bm25(vsamples)
+            out["variety_in_domain"] = {
+                "splade_recall_at_10": round(v["recall_at_10"], 4),
+                "splade_mrr": round(v["mrr"], 4),
+                "bm25_recall_at_10": round(vb["recall_at_10"], 4),
+                "bm25_mrr": round(vb["mrr"], 4),
+            }
+        except Exception as e:
+            out["variety_in_domain"] = {"error": repr(e)[:200]}
     return out
 
 
@@ -895,7 +900,60 @@ def main() -> None:
         "vs_baseline": round(pipe_qps / 10000.0, 4),
         "extras": extras,
     }
+    # The driver records the tail of stdout; round 3's full extras dump
+    # outgrew that window and front-truncated away the headline (VERDICT r3
+    # item 8). Ship the full account to docs/ + an early stdout line, and
+    # make the LAST line a compact result whose extras are a curated
+    # summary small enough to always fit.
+    full_path = Path(__file__).resolve().parent / "docs" / "BENCH_FULL_latest.json"
+    try:
+        full_path.write_text(json.dumps(result, indent=1))
+        print(f"# full extras -> {full_path}")
+    except Exception as e:  # pragma: no cover
+        print(f"# full-extras write failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))
+    sys.stdout.flush()
+    compact = dict(result)
+    compact["extras"] = _condense_extras(extras)
+    compact["full_extras"] = str(full_path.relative_to(full_path.parents[1]))
+    print(json.dumps(compact, separators=(",", ":")))
+
+
+def _condense_extras(extras: dict) -> dict:
+    """Curated small subset of the extras for the driver's tail window
+    (~every quality/throughput headline, none of the probe/debug rows)."""
+    keep = [
+        "recall_at_10", "mrr", "recall_at_10_iterative_2hop",
+        "mrr_iterative_2hop", "iterative_2hop_qps", "sequential_qps",
+        "device_program_qps", "corpus_passages", "compile_sec",
+        "mfu_train_pct", "mfu_dense_steady_pct",
+    ]
+    out = {k: extras[k] for k in keep if k in extras}
+    scale_keep = ["corpus_passages", "pipelined_qps", "recall_at_10", "mrr",
+                  "recall_at_10_iterative_2hop", "iterative_2hop_qps",
+                  "dense_only", "dense_encoder", "rerank", "error"]
+    for label in ("scale_100k", "scale_1m", "scale_5m"):
+        if isinstance(extras.get(label), dict):
+            out[label] = {k: extras[label][k] for k in scale_keep
+                          if k in extras[label]}
+    srv = extras.get("serving")
+    if isinstance(srv, dict) and isinstance(srv.get("serving"), dict):
+        srv = srv["serving"]
+    if isinstance(srv, dict):
+        out["serving"] = {k: v for k, v in srv.items()
+                          if k in ("single", "single_512", "iterative",
+                                   "batched_16x128", "scale_1m", "error")}
+    sp = extras.get("splade")
+    if isinstance(sp, dict):
+        out["splade"] = {k: sp[k] for k in
+                         ("sparse_recall_at_10", "sparse_mrr",
+                          "hybrid_recall_at_10", "hybrid_mrr",
+                          "bm25_baseline_recall_at_10", "bm25_baseline_mrr",
+                          "variety_in_domain", "error") if k in sp}
+    ch = extras.get("channels")
+    if isinstance(ch, dict):
+        out["channels"] = ch
+    return out
 
 
 if __name__ == "__main__":
