@@ -76,7 +76,23 @@ def encode_tokens(texts: List[str], cfg: EncoderConfig) -> Tuple[np.ndarray, np.
     """-> (token_ids int32 [B, L] or [B, L, G] when subword_ngrams > 1,
     mask f32 [B, L]); bucket = crc32 % vocab. With subwords, a word's
     trailing feature slots repeat its first feature (mean-pool neutral
-    enough and keeps shapes static)."""
+    enough and keeps shapes static).
+
+    Large batches take the native C path (bit-exact; same crc32/tokenizer/
+    cyclic fill, asserted in tests/test_native.py) — the Python loop runs
+    ~7.6k texts/s, which would dominate both corpus embedding at scale and
+    the learned-encoder query path."""
+    if len(texts) >= 64:
+        try:
+            from ..native.binding import encoder_tokens_native
+
+            out = encoder_tokens_native(
+                texts, cfg.max_len, cfg.vocab_size, cfg.subword_ngrams,
+                cfg.ngram_min, cfg.ngram_max)
+            if out is not None:
+                return out
+        except Exception:  # pragma: no cover - toolchain-less environments
+            pass
     B, L, G = len(texts), cfg.max_len, cfg.subword_ngrams
     mask = np.zeros((B, L), dtype=np.float32)
     if G <= 1:
@@ -248,6 +264,52 @@ def make_train_step(cfg: EncoderConfig, learning_rate: float = 1e-3):
         return params, opt_state, {"loss": loss, "accuracy": acc}
 
     return init_state, train_step
+
+
+def infonce_scan_trainer(cfg: EncoderConfig, *, batch: int, chunk: int,
+                         learning_rate: float = 1e-3, temperature: float = 0.05):
+    """Chunked device-resident training: ``chunk`` InfoNCE steps per jitted
+    dispatch, batches gathered in-program from the full featurized pair set.
+
+    Under the remote-TPU tunnel a per-step dispatch costs a ~25ms RTT that
+    dwarfs the few-ms step at flagship sizes; scanning ``chunk`` steps
+    inside one program amortizes that to noise (the same reasoning as the
+    bench's steady-state probes). Returns ``(init_state, run_chunk)`` where
+    ``run_chunk(params, opt_state, data, key)`` expects ``data`` as device
+    arrays {q_ids, q_mask, p_ids, p_mask} over the WHOLE pair set.
+
+    In-batch sampling uses independent uniform indices; duplicate rows in a
+    batch add ~batch²/2n label-noise pairs (two copies of the same positive
+    compete in the softmax) — negligible at the pair-set sizes this trains
+    on and much cheaper than a per-step device permutation.
+    """
+    import optax
+
+    tx = optax.adamw(learning_rate)
+
+    def init_state(params):
+        return tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, data, key):
+        n = data["q_ids"].shape[0]
+        keys = jax.random.split(key, chunk)
+
+        def body(carry, k):
+            params, opt_state = carry
+            idx = jax.random.randint(k, (batch,), 0, n)
+            b = {name: jnp.take(v, idx, axis=0) for name, v in data.items()}
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: info_nce_loss(p, b, cfg, temperature), has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), {"loss": loss, "accuracy": acc}
+
+        (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, {k: v[-1] for k, v in ms.items()}
+
+    return init_state, run_chunk
 
 
 def shard_train_step(cfg: EncoderConfig, mesh: Mesh, learning_rate: float = 1e-3):

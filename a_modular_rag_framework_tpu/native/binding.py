@@ -91,6 +91,9 @@ def load_native() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int, ctypes.c_int, f32p]
         i8p = ctypes.POINTER(ctypes.c_int8)
         lib.simple_scan.argtypes = [c_char_pp, ctypes.c_int, i8p]
+        lib.encoder_tokens.argtypes = [c_char_pp, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int, i32p, f32p]
         lib.bm25_add_docs_phrase.argtypes = [ctypes.c_void_p, c_char_pp,
                                              ctypes.c_int, i8p, c_char_pp]
         lib.entity_graph_build.argtypes = [c_char_pp, ctypes.c_int, i8p,
@@ -170,6 +173,28 @@ def hash_embed_batch_native(
     lib.hash_embed_batch(arr, n, dim, max_features,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def encoder_tokens_native(
+    texts: List[str], max_len: int, vocab: int, ngrams: int,
+    ngram_min: int, ngram_max: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """TextEncoder featurization (models/encoder.encode_tokens) in one C
+    call: -> (ids int32 [n, L] or [n, L, G], mask f32 [n, L]). Bit-exact
+    with the Python path (same crc32, same tokenizer, same cyclic fill)."""
+    lib = load_native()
+    if lib is None or not texts:
+        return None
+    n, G = len(texts), max(1, int(ngrams))
+    ids = np.zeros((n, max_len, G), dtype=np.int32)
+    mask = np.zeros((n, max_len), dtype=np.float32)
+    arr, keep = _text_array(texts)
+    lib.encoder_tokens(arr, n, max_len, vocab, G, ngram_min, ngram_max,
+                       ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                       mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if ngrams <= 1:
+        ids = ids.reshape(n, max_len)
+    return ids, mask
 
 
 def token_counts_native(texts: List[str]) -> Optional[np.ndarray]:

@@ -868,4 +868,55 @@ void entity_graph_build(const char* const* texts, int n,
   }
 }
 
+// TextEncoder subword featurization (models/encoder.py encode_tokens):
+// per word, feature 0 = crc32(word) % vocab, then char n-grams of the
+// '<word>'-wrapped form (lengths ngram_min..ngram_max, left-to-right) until
+// `ngrams` features; the row fills by cyclic repetition of the collected
+// features. ids is [n, max_len, ngrams] int32 (row-major), mask [n, max_len]
+// f32; both must arrive zeroed (only token positions are written). Texts
+// must be pre-lowercased (binding._text_array) — tokens are pure-ASCII
+// alnum runs, so byte == char and n-gram slicing matches Python exactly.
+void encoder_tokens(const char* const* texts, int n, int max_len, int vocab,
+                    int ngrams, int ngram_min, int ngram_max, int32_t* ids,
+                    float* mask) {
+  if (ngrams < 1) ngrams = 1;
+  const uint32_t uv = static_cast<uint32_t>(vocab);
+  std::vector<std::string> toks;
+  std::vector<int32_t> feats;
+  std::string wrapped;
+  for (int i = 0; i < n; ++i) {
+    toks.clear();
+    tokenize(texts[i], toks);
+    int m = static_cast<int>(toks.size());
+    if (m > max_len) m = max_len;
+    int32_t* trow = ids + (int64_t)i * max_len * ngrams;
+    float* mrow = mask + (int64_t)i * max_len;
+    for (int j = 0; j < m; ++j) {
+      const std::string& tok = toks[j];
+      feats.clear();
+      feats.push_back(static_cast<int32_t>(crc(tok) % uv));
+      if (ngrams > 1) {
+        wrapped.clear();
+        wrapped.push_back('<');
+        wrapped.append(tok);
+        wrapped.push_back('>');
+        int wl = static_cast<int>(wrapped.size());
+        for (int g = ngram_min;
+             g <= ngram_max && (int)feats.size() < ngrams; ++g) {
+          for (int a = 0; a + g <= wl && (int)feats.size() < ngrams; ++a) {
+            uint32_t h = static_cast<uint32_t>(
+                crc32(0L, reinterpret_cast<const Bytef*>(wrapped.data() + a),
+                      g));
+            feats.push_back(static_cast<int32_t>(h % uv));
+          }
+        }
+      }
+      int32_t* frow = trow + (int64_t)j * ngrams;
+      int fs = static_cast<int>(feats.size());
+      for (int g = 0; g < ngrams; ++g) frow[g] = feats[g % fs];
+      mrow[j] = 1.0f;
+    }
+  }
+}
+
 }  // extern "C"

@@ -376,3 +376,54 @@ def _iterative_engine():
         batch_buckets=(16,), query_df_ratio_max=0.05))
     assert eng._high_df_terms, "pruning must be active for this test"
     return eng, samples
+
+
+def test_encoder_tokens_native_bit_exact():
+    """Native TextEncoder featurization == the Python encode_tokens loop
+    (models/encoder.py) for every subword_ngrams mode, including unicode
+    lowercasing, short words, and the max_len cap."""
+    from a_modular_rag_framework_tpu.models.encoder import (
+        EncoderConfig,
+        encode_tokens,
+    )
+    from a_modular_rag_framework_tpu.native.binding import (
+        encoder_tokens_native,
+    )
+
+    texts = [
+        "Aldenkel Torselbar collaborated closely with Fenwyn Ravkelsel.",
+        "a", "", "X y2 Zq-wort 123 ABC", "Kelvin KKa sign",
+        " ".join(f"w{i}" for i in range(50)),  # beyond the max_len cap
+    ]
+    for G in (1, 4, 8):
+        cfg = EncoderConfig(subword_ngrams=G, max_len=32)
+        nat = encoder_tokens_native(texts, cfg.max_len, cfg.vocab_size, G,
+                                    cfg.ngram_min, cfg.ngram_max)
+        if nat is None:
+            pytest.skip("native library unavailable")
+        # per-text calls stay under the fast-path threshold -> Python loop
+        py = [encode_tokens([t], cfg) for t in texts]
+        py_ids = np.concatenate([p[0] for p in py])
+        py_mask = np.concatenate([p[1] for p in py])
+        assert np.array_equal(py_ids, nat[0])
+        assert np.array_equal(py_mask, nat[1])
+
+
+def test_encode_tokens_fast_path_matches_loop():
+    """encode_tokens >=64-text batches (native fast path) == the same call
+    split into sub-threshold chunks (Python loop)."""
+    from a_modular_rag_framework_tpu.models.encoder import (
+        EncoderConfig,
+        encode_tokens,
+    )
+
+    cfg = EncoderConfig(subword_ngrams=8, max_len=16)
+    texts = [f"Person {i} worked in City{i % 7} as employee {i*3}."
+             for i in range(80)]
+    ids_big, mask_big = encode_tokens(texts, cfg)
+    ids_sm = np.concatenate([encode_tokens(texts[i:i + 10], cfg)[0]
+                             for i in range(0, 80, 10)])
+    mask_sm = np.concatenate([encode_tokens(texts[i:i + 10], cfg)[1]
+                              for i in range(0, 80, 10)])
+    assert np.array_equal(ids_big, ids_sm)
+    assert np.array_equal(mask_big, mask_sm)
