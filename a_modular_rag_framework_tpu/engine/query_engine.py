@@ -142,6 +142,18 @@ class EngineConfig:
     # then concentrate on discriminative entities and the entity-link
     # graph channel reaches the hop-2 evidence.
     query_df_ratio_max: float = 0.0
+    # text-channel implementation (BASELINE config 4 "BM25/SPLADE"):
+    #   "bm25"   — reference-parity lexical postings (the default)
+    #   "splade" — learned-sparse: the corpus postings are SPLADE doc
+    #              expansions (ops.splade.SpladeDeviceIndex) and the query
+    #              term ids/weights come from the expansion head INSIDE the
+    #              device program (one trunk run per batch; rides the
+    #              term_weights seam of bm25_topk_sorted/bm25_rescore_pool).
+    #              Requires splade_weights; graph + dense channels are
+    #              unchanged. idf query pruning is disabled (the expansion
+    #              head owns term weighting), bm25_impl must stay "sorted".
+    sparse_impl: str = "bm25"
+    splade_weights: str = ""  # SpladeEncoder checkpoint path
 
     def __post_init__(self):
         if self.order_alphas is not None:
@@ -377,6 +389,7 @@ class TPUQueryEngine:
         encoder: Optional[Any] = None,
         config: Optional[EngineConfig] = None,
         sink: Optional[TelemetrySink] = None,
+        splade_index: Optional[Any] = None,
     ):
         from ..utils.jax_setup import enable_compilation_cache
 
@@ -392,14 +405,46 @@ class TPUQueryEngine:
             norms = jnp.sqrt(jnp.sum(emb.astype(jnp.float32) ** 2, axis=1, keepdims=True))
             emb = (emb.astype(jnp.float32) / jnp.maximum(norms, 1e-9)).astype(emb.dtype)
         self._emb = emb
-        self._bm25 = index.device_bm25()
         self._nbrs = index.device_graph(include_entity=self.config.include_entity_graph)
         self._n = index.n_docs
         self._jit_cache: Dict[Tuple, Any] = {}
-        # idf-guided query pruning (query_df_ratio_max): host-side set of
-        # tokens too common to keep in queries
-        self._high_df_terms = build_high_df_terms(
-            index.bm25, self.config.query_df_ratio_max, self._n)
+
+        self._splade_enc = None
+        if self.config.sparse_impl == "splade":
+            # learned-sparse text channel: SPLADE doc expansions replace the
+            # BM25 postings device-side; query expansion runs in-program
+            from ..models.splade import SpladeEncoder
+            from ..ops.splade import (
+                SpladeDeviceIndex,
+                splade_engine_arrays,
+            )
+
+            if self.config.bm25_impl != "sorted":
+                raise ValueError("sparse_impl='splade' requires "
+                                 "bm25_impl='sorted' (term_weights ride the "
+                                 "sort-aggregate path only)")
+            if not self.config.splade_weights:
+                raise ValueError("sparse_impl='splade' requires "
+                                 "splade_weights (SpladeEncoder checkpoint)")
+            self._splade_enc = SpladeEncoder.load(self.config.splade_weights)
+            if splade_index is None and self._n:
+                splade_index = self._build_splade_index()
+            self._bm25 = (splade_engine_arrays(
+                splade_index, self._splade_enc.cfg.doc_top_terms)
+                if splade_index is not None else {})
+            self._splade_index = splade_index
+            # the expansion head owns term weighting; idf pruning off
+            self._high_df_terms = None
+        elif self.config.sparse_impl == "bm25":
+            self._bm25 = index.device_bm25()
+            # idf-guided query pruning (query_df_ratio_max): host-side set
+            # of tokens too common to keep in queries
+            self._high_df_terms = build_high_df_terms(
+                index.bm25, self.config.query_df_ratio_max, self._n)
+        else:
+            raise ValueError(f"unknown sparse_impl "
+                             f"{self.config.sparse_impl!r} "
+                             "(expected bm25 | splade)")
 
         try:
             from ..native import binding as _nb
@@ -412,6 +457,16 @@ class TPUQueryEngine:
 
     def _prune_query(self, q: str) -> str:
         return prune_query(q, self._high_df_terms)
+
+    def _build_splade_index(self):
+        """Expand the corpus through the SPLADE encoder in device batches
+        (the backend caches the result on disk; bench/test engines build
+        in-memory)."""
+        from ..ops.splade import SpladeRetriever
+
+        r = SpladeRetriever(self._splade_enc)
+        r.build(self.index.corpus.texts())
+        return r.index
 
     # ------------- host-side encoding -------------
 
@@ -461,6 +516,10 @@ class TPUQueryEngine:
          fuse_embed) = key
         n = self._n
         cfg = self.config
+        sparse_splade = self._splade_enc is not None
+        sp_cfg = self._splade_enc.cfg if sparse_splade else None
+        if sparse_splade:
+            from ..models.splade import apply_splade, sparsify_topk
         cap = min(cfg.bm25_posting_cap, max(int(self._bm25["doc_ids"].shape[0]), 1))
         alphas = jnp.asarray(
             [cfg.alpha_text, cfg.alpha_graph, cfg.alpha_dense], dtype=jnp.float32
@@ -512,7 +571,22 @@ class TPUQueryEngine:
             *args, index_tree = args
             emb, nbrs, bm = (index_tree["emb"], index_tree["nbrs"],
                              index_tree["bm"])
-            if fuse_embed:
+            term_w = None
+            if sparse_splade:
+                # learned-sparse query side: expansion head runs IN-program
+                # (one trunk pass over the B*E variant rows); term ids and
+                # weights feed the same posting machinery as BM25
+                if fuse_embed:
+                    feat_a, feat_b, sp_ids, sp_mask, seed_rows = args
+                    q_emb = self.encoder.device_embed(feat_a, feat_b)
+                else:
+                    q_emb, sp_ids, sp_mask, seed_rows = args
+                w_exp = apply_splade(index_tree["sp"], sp_ids, sp_mask,
+                                     sp_cfg)
+                t_ids, t_w = sparsify_topk(w_exp, T)
+                term_ids = t_ids.reshape(B, E, T)
+                term_w = t_w.reshape(B, E, T)
+            elif fuse_embed:
                 feat_a, feat_b, term_ids, seed_rows = args
                 q_emb = self.encoder.device_embed(feat_a, feat_b)
             else:
@@ -527,6 +601,7 @@ class TPUQueryEngine:
                     n_docs=n, term_topm=min(cfg.bm25_term_topm, cap),
                     pool_k=pool_k,
                     posting_packed=bm.get("posting_packed"),
+                    term_weights=term_w,
                 )
                 pad = pool_k - pool_s.shape[1]
                 if pad > 0:
@@ -535,7 +610,7 @@ class TPUQueryEngine:
                                      constant_values=-1)
                 pool_s = bm25_rescore_pool(
                     pool_i, term_ids, bm["doc_terms_padded"],
-                    bm["doc_scores_padded"], n_docs=n,
+                    bm["doc_scores_padded"], n_docs=n, term_weights=term_w,
                 )
                 pool_valid = (pool_s > 0) & (pool_i >= 0)
                 text_scores = None  # no [B, N] text buffer in this mode
@@ -889,14 +964,32 @@ class TPUQueryEngine:
         fuse_embed = hasattr(self.encoder, "host_featurize") and hasattr(
             self.encoder, "device_embed"
         )
-        if fuse_embed:
+        sp_args: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        if self._splade_enc is not None:
+            # learned-sparse mode: featurize every variant row for the
+            # in-program expansion head; no host-side vocab lookup
+            flat = [v[e] if e < len(v) else ""
+                    for v in variants for e in range(E)]
+            sp_args = self._splade_enc.host_featurize(flat)
+            term_ids = None
+            T_eff = int(self._splade_enc.cfg.query_top_terms)
+            if fuse_embed:
+                originals = [v[0] if v else "" for v in variants]
+                feats = self.encoder.host_featurize(originals)
+            else:
+                originals = [v[0] if v else "" for v in variants]
+                q_emb = np.asarray(
+                    self.encoder.encode_texts(list(originals)),
+                    dtype=np.float32)
+        elif fuse_embed:
             originals = [v[0] if v else "" for v in variants]
             feats = self.encoder.host_featurize(originals)
             term_ids = self.encode_term_ids(variants, n_variants=E)
         else:
             q_emb, term_ids = self.encode_queries(variants, n_variants=E)
-        term_ids = trim_term_bucket(term_ids, cfg.max_query_terms)
-        T_eff = term_ids.shape[2]
+        if term_ids is not None:
+            term_ids = trim_term_bucket(term_ids, cfg.max_query_terms)
+            T_eff = term_ids.shape[2]
 
         seeds_explicit = seed_rows is not None
         # without explicit seeds the program derives seeds from the BM25
@@ -915,8 +1008,17 @@ class TPUQueryEngine:
         fn = self._program(key)
 
         index_tree = {"emb": self._emb, "nbrs": self._nbrs, "bm": self._bm25}
+        if self._splade_enc is not None:
+            index_tree["sp"] = self._splade_enc.params
         t0 = time.time()
-        if fuse_embed:
+        if sp_args is not None:
+            head = ((jnp.asarray(feats[0]), jnp.asarray(feats[1]))
+                    if fuse_embed else (jnp.asarray(q_emb),))
+            f32_pack, i32_pack = fn(
+                *head, jnp.asarray(sp_args[0]), jnp.asarray(sp_args[1]),
+                jnp.asarray(seed_arr), index_tree
+            )
+        elif fuse_embed:
             f32_pack, i32_pack = fn(
                 jnp.asarray(feats[0]), jnp.asarray(feats[1]),
                 jnp.asarray(term_ids), jnp.asarray(seed_arr), index_tree
@@ -994,7 +1096,14 @@ class TPUQueryEngine:
                                      keepdims=True))
             emb = (emb.astype(jnp.float32) / jnp.maximum(norms, 1e-9)).astype(emb.dtype)
         self._emb = emb
-        self._bm25 = index.device_bm25()
+        if self._splade_enc is not None:
+            from ..ops.splade import splade_engine_arrays
+
+            self._bm25 = (splade_engine_arrays(
+                self._splade_index, self._splade_enc.cfg.doc_top_terms)
+                if self._splade_index is not None else {})
+        else:
+            self._bm25 = index.device_bm25()
         self._nbrs = index.device_graph(
             include_entity=self.config.include_entity_graph
         )

@@ -110,6 +110,8 @@ class TPUHybridRetrievalBackend:
         cross_rerank_weights: str = "",
         cross_rerank_top_m: int = 20,
         cross_rerank_subword_ngrams: int = 8,
+        sparse_impl: str = "bm25",
+        splade_weights: str = "",
     ):
         self.router = router
         self.sink = sink
@@ -192,8 +194,37 @@ class TPUHybridRetrievalBackend:
                 graph_impl=str(graph_impl),
                 graph_compact_cap=int(graph_compact_cap),
                 graph_wave_dtype=str(graph_wave_dtype),
+                sparse_impl=str(sparse_impl),
+                splade_weights=str(splade_weights),
             )
+            # learned-sparse text channel (BASELINE config 4): the corpus
+            # expansion is cached next to the packed index so re-inits
+            # memory-map it instead of re-running the expansion model
+            splade_index = None
+            splade_cache = None
+            if sparse_impl == "splade":
+                from ...ops.splade import SpladeDeviceIndex
+
+                if query_df_ratio_max:
+                    logger.info("sparse_impl=splade: idf query pruning is "
+                                "inert (the expansion head owns weighting)")
+                packed_dir = Path(index_path).with_suffix(
+                    Path(index_path).suffix + ".packed")
+                if packed_dir.is_dir():
+                    splade_cache = packed_dir / "splade_index.npz"
+                    if splade_cache.exists():
+                        try:
+                            splade_index = SpladeDeviceIndex.load(
+                                str(splade_cache))
+                        except Exception as e:
+                            logger.warning(
+                                "splade index cache reload failed (%r); "
+                                "re-expanding", e)
             self.engine = None
+            if mesh_axes and sparse_impl == "splade":
+                logger.warning("sparse_impl=splade is single-chip for now; "
+                               "ignoring mesh_axes %r", mesh_axes)
+                mesh_axes = None
             if mesh_axes:
                 # settings.yaml `mesh:` wiring: when the resolved mesh has
                 # more than one device on the shard axis, serve through the
@@ -218,7 +249,16 @@ class TPUHybridRetrievalBackend:
                                 self.engine.n_shards, shard_axis)
             if self.engine is None:
                 self.engine = TPUQueryEngine(index, encoder=encoder,
-                                             config=config, sink=sink)
+                                             config=config, sink=sink,
+                                             splade_index=splade_index)
+                if (splade_cache is not None and not splade_cache.exists()
+                        and getattr(self.engine, "_splade_index", None)
+                        is not None):
+                    try:
+                        self.engine._splade_index.save(str(splade_cache))
+                    except Exception as e:  # pragma: no cover
+                        logger.warning("splade index cache write failed: %r",
+                                       e)
 
     # ---- per-question graph seeds ----
 

@@ -410,6 +410,7 @@ def bm25_rescore_pool(
     doc_scores_padded: jax.Array,  # [N, D] f32 doc-major contributions
     *,
     n_docs: int,
+    term_weights: Optional[jax.Array] = None,  # [B, E, T] f32 >= 0
 ) -> jax.Array:
     """EXACT BM25 scores [B, K] for the candidate pool (max over variants).
 
@@ -449,6 +450,12 @@ def bm25_rescore_pool(
             tid_t >= 0
         )[:, :, None, None]
         contrib = jnp.sum(jnp.where(m, wc_b[:, None, :, :], 0.0), axis=-1)
+        if term_weights is not None:
+            # learned-sparse seam (same contract as bm25_topk_sorted):
+            # score(q, d) = sum_t w_q(t) * impact(t, d)
+            w_t = jax.lax.dynamic_index_in_dim(term_weights, t, axis=2,
+                                               keepdims=False)  # [B, E]
+            contrib = contrib * w_t[:, :, None]
         return acc + contrib
 
     E = term_ids.shape[1]

@@ -83,6 +83,49 @@ class SpladeDeviceIndex:
                    row_ptr=d["row_ptr"], n_docs=int(d["n_docs"]))
 
 
+def splade_engine_arrays(index: SpladeDeviceIndex, doc_top_terms: int):
+    """Engine-shaped device dict for `TPUQueryEngine`'s text channel
+    (same keys as `Bm25DeviceIndex.device_arrays`): term-major CSR postings
+    plus the doc-major padded layout the exact re-score phase gathers.
+
+    The doc-major arrays invert the CSR: postings sorted by doc row (stable,
+    so each doc's terms keep their term-id order); every doc holds at most
+    ``doc_top_terms`` expansion terms by construction, so the fixed stride
+    is exact (no truncation, unlike BM25's idf-ranked doc_major_padded cut).
+    """
+    n_docs = index.n_docs
+    term_per_post = np.repeat(
+        np.arange(len(index.row_ptr) - 1, dtype=np.int32),
+        np.diff(index.row_ptr))
+    order = np.argsort(index.doc_ids, kind="stable")
+    d_s = np.asarray(index.doc_ids)[order]
+    t_s = term_per_post[order]
+    w_s = np.asarray(index.impacts, dtype=np.float32)[order]
+    counts = np.bincount(d_s, minlength=n_docs)
+    D = max(1, int(doc_top_terms))
+    doc_terms = np.full((n_docs, D), -2, dtype=np.int32)
+    doc_scores = np.zeros((n_docs, D), dtype=np.float32)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(d_s.shape[0], dtype=np.int64) - starts[d_s]
+    keep = slot < D
+    doc_terms[d_s[keep], slot[keep]] = t_s[keep]
+    doc_scores[d_s[keep], slot[keep]] = w_s[keep]
+    out = {
+        "doc_ids": jnp.asarray(np.asarray(index.doc_ids, dtype=np.int32)),
+        "scores": jnp.asarray(np.asarray(index.impacts, dtype=np.float32)),
+        "row_ptr": jnp.asarray(np.asarray(index.row_ptr, dtype=np.int32)),
+        "doc_terms_padded": jnp.asarray(doc_terms),
+        "doc_scores_padded": jnp.asarray(doc_scores),
+    }
+    if index.doc_ids.size * 8 <= (256 << 20):
+        out["posting_packed"] = jnp.asarray(np.stack(
+            [np.asarray(index.doc_ids, dtype=np.int32),
+             np.asarray(index.impacts, dtype=np.float32).view(np.int32)],
+            axis=1))
+    return out
+
+
 class SpladeRetriever:
     """Standalone learned-sparse retriever: build + batched device query.
 

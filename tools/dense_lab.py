@@ -191,16 +191,20 @@ def dense_eval(idx, encoder, emb, samples, *, top_k=10, hop1_inspect=20,
         rec1.append(recall_at_k(got1, gold, top_k))
         hop1_gold = [f"sent::{t1}::{sid1}"]
         rec1_hop1.append(recall_at_k(got1, hop1_gold, top_k))
-        # merge: max over duplicate ids, hop-2 decayed
-        merged = {}
-        for i, sc in zip(i1[b].tolist(), s1[b].tolist()):
-            if i >= 0:
-                merged[i] = max(merged.get(i, -1e9), sc)
-        if hop2_qs[b]:
-            for i, sc in zip(i2[b].tolist(), s2[b].tolist()):
-                if i >= 0:
-                    merged[i] = max(merged.get(i, -1e9), sc * hop_decay)
-        ranked = sorted(merged.items(), key=lambda kv: -kv[1])[:top_k]
+        # merge with a hop-2 reserve (multihop._merge_hop2 semantics): a
+        # pure decayed-score merge lets hop-1's distractor tail displace
+        # exactly the evidence hop 2 exists to find
+        reserve = max(2, top_k // 4)
+        h1 = [(int(i), float(sc)) for i, sc in
+              zip(i1[b].tolist(), s1[b].tolist()) if i >= 0]
+        h1_ids = {i for i, _ in h1[:top_k]}
+        h2 = ([(int(i), float(sc) * hop_decay) for i, sc in
+               zip(i2[b].tolist(), s2[b].tolist())
+               if i >= 0 and int(i) not in h1_ids]
+              if hop2_qs[b] else [])
+        ranked = (h1[:top_k - min(reserve, len(h2))]
+                  + h2[:min(reserve, len(h2))])
+        ranked = sorted(ranked, key=lambda kv: -kv[1])[:top_k]
         got2 = [idx.corpus.hit_id(i) for i, _ in ranked]
         rec2h.append(recall_at_k(got2, gold, top_k))
         mrr2h.append(mrr(got2, gold))
