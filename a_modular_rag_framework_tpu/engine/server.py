@@ -55,6 +55,50 @@ class _Resolved:
         return self._result
 
 
+class _ClientFuture:
+    """Future-shaped handle that defers Hit hydration to the CALLING thread.
+
+    The dispatcher resolves the inner future with ``(engine, QueryResult,
+    row0, n_rows)``; each client then pays for its own rows' Hit
+    construction inside its ``result()`` wait. Hydration was the dispatcher
+    thread's dominant per-query cost (~10 Hit objects per query built
+    serially for every client), capping served throughput far below the
+    engine; spread across client threads it overlaps the next batch's
+    dispatch."""
+
+    __slots__ = ("_inner", "_unwrap", "_value", "_has_value")
+
+    def __init__(self, inner: Future, unwrap: bool):
+        self._inner = inner
+        self._unwrap = unwrap
+        self._value = None
+        self._has_value = False
+
+    def result(self, timeout: Optional[float] = None):
+        if not self._has_value:
+            engine, res, row0, n_rows = self._inner.result(timeout)
+            hits = [engine.hydrate_hits(res, row0 + j)
+                    for j in range(n_rows)]
+            self._value = hits[0] if self._unwrap else hits
+            self._has_value = True
+        return self._value
+
+    def done(self) -> bool:
+        return self._inner.done()
+
+    def exception(self, timeout: Optional[float] = None):
+        return self._inner.exception(timeout)
+
+    def cancel(self) -> bool:
+        return self._inner.cancel()
+
+    def cancelled(self) -> bool:
+        return self._inner.cancelled()
+
+    def add_done_callback(self, fn) -> None:
+        self._inner.add_done_callback(lambda _f: fn(self))
+
+
 class QueryServer:
     """Thread-safe micro-batching wrapper around `TPUQueryEngine`.
 
@@ -158,7 +202,7 @@ class QueryServer:
             top_k=top_k, graph_window=graph_window, mode=mode, unwrap=False)
 
     def _submit_unit(self, queries, *, expansions, seed_rows, top_k,
-                     graph_window, mode, unwrap) -> Future:
+                     graph_window, mode, unwrap):
         if mode not in ("single", "iterative"):
             raise ValueError(f"unknown mode {mode!r} "
                              "(expected single | iterative)")
@@ -166,7 +210,7 @@ class QueryServer:
                        seed_rows=seed_rows, top_k=top_k,
                        graph_window=graph_window, mode=mode, unwrap=unwrap)
         self._q.put(req)
-        return req.future
+        return _ClientFuture(req.future, unwrap)
 
     def query(self, query: str, **kw) -> List[Hit]:
         return self.submit(query, **kw).result()
@@ -207,13 +251,15 @@ class QueryServer:
             result = pending.result()
             row = 0
             for r in reqs:
-                hits = [self.engine.hydrate_hits(result, row + j)
-                        for j in range(len(r.queries))]
-                r.future.set_result(hits[0] if r.unwrap else hits)
+                # hydration happens in the CLIENT's result() wait
+                # (_ClientFuture) — the dispatcher only hands out row ranges
+                r.future.set_result(
+                    (self.engine, result, row, len(r.queries)))
                 row += len(r.queries)
             self.stats["batches"] += 1
             self.stats["queries"] += row
-            self.stats["batch_sizes"].append(row)
+            if len(self.stats["batch_sizes"]) < 10000:
+                self.stats["batch_sizes"].append(row)
         except Exception as e:  # pragma: no cover
             for r in reqs:
                 if not r.future.done():

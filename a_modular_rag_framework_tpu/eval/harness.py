@@ -59,6 +59,73 @@ def evaluate_retrieval(
     }
 
 
+def evaluate_dense(
+    engine,
+    samples: Sequence[Dict[str, Any]],
+    *,
+    k: int = 10,
+    hop1_inspect: int = 20,
+    hop_decay: float = 0.5,
+) -> Dict[str, Any]:
+    """Dense-channel-only quality over the engine's corpus embeddings
+    (`query_dense_batch`): 1-shot recall@k (structurally capped at ~0.5 on
+    2-hop questions — hop-2 gold shares no text with the question), the
+    hop-1 half alone, and the dense 2-HOP recipe (hop-1 dense -> bridge
+    extraction -> hop-2 dense -> reserve-aware decayed merge — the dense
+    analogue of the engine's iterative quality mode)."""
+    from ..modules.retrieval.multihop import (
+        bridge_entities,
+        hop2_queries_for,
+    )
+
+    qs = [s["question"] for s in samples]
+    r1 = engine.query_dense_batch(qs, top_k=hop1_inspect)
+    i1 = np.asarray(r1.hits.ids)
+    s1 = np.asarray(r1.hits.scores)
+
+    corpus = engine.index.corpus
+    known_titles = {d.get("title") for d in corpus.docs}
+    known_titles.discard(None)
+    docs = corpus.docs
+    hop2_qs = []
+    for b, q in enumerate(qs):
+        texts = [docs[int(i)].get("text", "") for i in i1[b] if i >= 0]
+        bridges = bridge_entities(q, texts, max_entities=1,
+                                  known_titles=known_titles)
+        hop2_qs.append(hop2_queries_for(q, bridges)[0] if bridges else "")
+    r2 = engine.query_dense_batch(hop2_qs, top_k=hop1_inspect)
+    i2 = np.asarray(r2.hits.ids)
+    s2 = np.asarray(r2.hits.scores)
+
+    rec1, rec1_hop1, rec2h, rr2h = [], [], [], []
+    reserve = max(2, k // 4)
+    for b, sample in enumerate(samples):
+        gold = gold_hit_ids(sample)
+        got1 = [corpus.hit_id(int(i)) for i in i1[b][:k] if i >= 0]
+        rec1.append(recall_at_k(got1, gold, k))
+        sf = sample.get("supporting_facts") or []
+        if sf:
+            rec1_hop1.append(recall_at_k(
+                got1, [f"sent::{sf[0][0]}::{sf[0][1]}"], k))
+        h1 = [(int(i), float(sc)) for i, sc in zip(i1[b], s1[b]) if i >= 0]
+        h1_ids = {i for i, _ in h1[:k]}
+        h2 = ([(int(i), float(sc) * hop_decay) for i, sc in
+               zip(i2[b], s2[b]) if i >= 0 and int(i) not in h1_ids]
+              if hop2_qs[b] else [])
+        r_n = min(reserve, len(h2))
+        ranked = sorted(h1[:k - r_n] + h2[:r_n], key=lambda kv: -kv[1])[:k]
+        got2 = [corpus.hit_id(i) for i, _ in ranked]
+        rec2h.append(recall_at_k(got2, gold, k))
+        rr2h.append(mrr(got2, gold))
+    return {
+        f"recall_at_{k}": round(float(np.mean(rec1)), 4),
+        "hop1_recall": round(float(np.mean(rec1_hop1)), 4)
+        if rec1_hop1 else None,
+        f"two_hop_recall_at_{k}": round(float(np.mean(rec2h)), 4),
+        "two_hop_mrr": round(float(np.mean(rr2h)), 4),
+    }
+
+
 def evaluate_system(
     answer_fn,
     samples: Sequence[Dict[str, Any]],

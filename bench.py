@@ -48,6 +48,27 @@ PEAK_FLOPS_BF16 = 197e12
 PEAK_HBM_GBS = 819.0
 
 
+def attach_learned(idx, cache_dir: Path):
+    """Attach the learned-embedding sidecar (tools/reembed_index.py) when
+    present: swaps the index's dense space for the collide-trained subword
+    encoder's and returns (query_encoder, label) — (None, 'hash64')
+    otherwise."""
+    try:
+        from a_modular_rag_framework_tpu.index.reembed import (
+            attach_learned_embeddings,
+        )
+
+        att = attach_learned_embeddings(idx, cache_dir)
+    except Exception as e:
+        print(f"# learned-embedding attach failed: {e!r}", file=sys.stderr)
+        att = None
+    if att is None:
+        return None, "hash64"
+    enc, doc = att
+    c = doc.get("encoder_config", {})
+    return enc, f"subword_collide_d{c.get('d_model', '?')}"
+
+
 def build_or_load_index(n_samples: int, cache_dir: Path, *,
                         collide: bool = False):
     """collide=True uses the factored-name-pool corpus whose distractors
@@ -85,7 +106,7 @@ def build_or_load_index(n_samples: int, cache_dir: Path, *,
     return idx, samples, t_build
 
 
-def make_engine(idx, batch, **overrides):
+def make_engine(idx, batch, *, encoder=None, **overrides):
     from a_modular_rag_framework_tpu.engine.query_engine import (
         EngineConfig,
         TPUQueryEngine,
@@ -125,15 +146,33 @@ def make_engine(idx, batch, **overrides):
                alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15,
                order_alphas=(0.4, 0.2, 0.4))
     cfg.update(overrides)
-    return TPUQueryEngine(idx, config=EngineConfig(**cfg))
+    return TPUQueryEngine(idx, encoder=encoder, config=EngineConfig(**cfg))
 
 
-def make_scale_engine(idx):
+def make_scale_engine(idx, encoder=None):
     """Tuned operating point for the >=100k-row scale rows (see A/B note
     at SCALE_BATCH above)."""
-    return make_engine(idx, SCALE_BATCH, bm25_term_topm=SCALE_TERM_TOPM,
+    return make_engine(idx, SCALE_BATCH, encoder=encoder,
+                       bm25_term_topm=SCALE_TERM_TOPM,
                        graph_compact_cap=SCALE_COMPACT_CAP,
                        dense_impl="auto")  # no [B, N] at corpus scale
+
+
+def dense_only_block(engine, samples, questions) -> dict:
+    """Dense-channel-only row: throughput + 1-shot/hop-1/2-hop quality
+    (eval.harness.evaluate_dense). The 1-shot recall is structurally capped
+    at ~0.5 on 2-hop questions; two_hop is the dense quality mode."""
+    from a_modular_rag_framework_tpu.eval.harness import evaluate_dense
+
+    engine.query_dense_batch(questions, top_k=TOP_K)  # warm
+    dsec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.query_dense_batch(questions, top_k=TOP_K)
+        dsec = min(dsec, time.time() - t0)
+    out = {"qps": round(len(questions) / dsec, 1)}
+    out.update(evaluate_dense(engine, samples[:128], k=TOP_K))
+    return out
 
 
 def measure_throughput(engine, questions):
@@ -804,7 +843,8 @@ def main() -> None:
         idx1, samples1, t_build1 = build_or_load_index(N_SAMPLES_100K,
                                                        CACHE_DIR_100K,
                                                        collide=True)
-        engine1 = make_scale_engine(idx1)
+        enc1, enc1_label = attach_learned(idx1, CACHE_DIR_100K)
+        engine1 = make_scale_engine(idx1, encoder=enc1)
         q1 = [s["question"] for s in samples1[:SCALE_BATCH]]
         q1 = (q1 * ((SCALE_BATCH // len(q1)) + 1))[:SCALE_BATCH]
         pipe1, seq1, dev1 = measure_throughput(engine1, q1)
@@ -821,7 +861,13 @@ def main() -> None:
             "iterative_2hop_qps": round(it_qps1, 1) if it_qps1 else None,
             "index_build_sec": round(t_build1, 1) if t_build1 else None,
             "index_device_bytes": index_device_bytes(engine1),
+            "dense_encoder": enc1_label,
         }
+        try:
+            extras["scale_100k"]["dense_only"] = dense_only_block(
+                engine1, samples1, q1)
+        except Exception as e:
+            extras["scale_100k"]["dense_only"] = {"error": repr(e)[:200]}
     except Exception as e:
         extras["scale_100k"] = {"error": repr(e)}
 
@@ -847,7 +893,8 @@ def main() -> None:
             samplesl = SyntheticHotpotQALoader(
                 {"count": SCALE_BATCH, "seed": 0, "n_distractors": 8,
                  "collide_entities": True}).load()
-            enginel = make_scale_engine(idxl)
+            encl, encl_label = attach_learned(idxl, cache)
+            enginel = make_scale_engine(idxl, encoder=encl)
             ql = [s["question"] for s in samplesl[:SCALE_BATCH]]
             pipel, seql, _ = measure_throughput(enginel, ql)
             qualityl = evaluate_retrieval(enginel, samplesl[:128], k=TOP_K,
@@ -864,31 +911,17 @@ def main() -> None:
                 "index_build_sec": (idxl.manifest.get("build_stats")
                                     or {}).get("total_sec"),
                 "index_device_bytes": index_device_bytes(enginel),
+                "dense_encoder": encl_label,
             }
-            if label == "scale_5m":
-                # BASELINE config 2: exact dense retrieval over the full
-                # fullwiki-scale index in HBM (the Pallas streaming kernel
-                # — no [B, N] score matrix materializes at 5.17M rows)
-                try:
-                    enginel.query_dense_batch(ql, top_k=TOP_K)  # warm
-                    dsec = float("inf")
-                    for _ in range(2):
-                        t0 = time.time()
-                        rd = enginel.query_dense_batch(ql, top_k=TOP_K)
-                        dsec = min(dsec, time.time() - t0)
-                    d_ids = np.asarray(rd.hits.ids)
-                    drecs = []
-                    for row, s in enumerate(samplesl[:128]):
-                        got = [idxl.corpus.hit_id(int(i))
-                               for i in d_ids[row] if i >= 0]
-                        drecs.append(recall_at_k(got, gold_hit_ids(s),
-                                                 TOP_K))
-                    extras[label]["dense_only"] = {
-                        "qps": round(len(ql) / dsec, 1),
-                        "recall_at_10": round(float(np.mean(drecs)), 4),
-                    }
-                except Exception as e:
-                    extras[label]["dense_only"] = {"error": repr(e)[:200]}
+            # BASELINE config 2: exact dense retrieval over the full
+            # in-HBM index (no [B, N] score matrix at 5.17M rows), now
+            # measured over the LEARNED index when the sidecar exists —
+            # 1-shot, hop-1, and the dense 2-hop quality recipe
+            try:
+                extras[label]["dense_only"] = dense_only_block(
+                    enginel, samplesl, ql)
+            except Exception as e:
+                extras[label]["dense_only"] = {"error": repr(e)[:200]}
             del enginel, idxl
         except Exception as e:
             extras[label] = {"error": repr(e)}
