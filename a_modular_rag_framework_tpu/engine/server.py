@@ -9,11 +9,12 @@ accumulates.
 
 Two client shapes:
 
-- ``submit(query)`` -> Future[List[Hit]] — one query per future. Each
+- ``submit(query)`` -> Future[Sequence[Hit]] — one query per future (a
+  lazy `LazyHits` view; Hit construction is deferred to first read). Each
   resolution wakes one waiting thread, so closed-loop single-query clients
   cap on Python thread-switch overhead (~10k submits/s machinery ceiling
   measured in-process) long before the device does.
-- ``submit_many(queries)`` -> Future[List[List[Hit]]] — a sub-batch rides
+- ``submit_many(queries)`` -> Future[List[Sequence[Hit]]] — a sub-batch rides
   the dispatch loop as ONE unit: one queue entry, one future, one wakeup.
   This is the throughput surface for callers that have batches (agents
   fanning out expansions, bulk scorers), and what lets serving approach
@@ -24,6 +25,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections.abc import Sequence as _SeqABC
 from concurrent.futures import CancelledError, Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
@@ -55,16 +57,54 @@ class _Resolved:
         return self._result
 
 
+class LazyHits(_SeqABC):
+    """List[Hit]-shaped view over one query's row of a ``QueryResult``.
+
+    Hit/meta construction (~10 pydantic objects + meta dicts per query) is
+    the dominant HOST cost of serving a query — more than the query's share
+    of the device program at scale. Under the GIL it costs the same total
+    time no matter which thread runs it, so the only real win is not
+    running it at all until (unless) the caller actually reads the hits.
+    Completion-counting load generators and callers that only forward ids
+    pay ~one small object per query; everything that iterates gets plain
+    `Hit`s exactly as before (materialized once, cached)."""
+
+    __slots__ = ("_engine", "_result", "_row", "_hits")
+
+    def __init__(self, engine, result, row: int):
+        self._engine = engine
+        self._result = result
+        self._row = row
+        self._hits = None
+
+    def _materialize(self) -> List[Hit]:
+        if self._hits is None:
+            self._hits = self._engine.hydrate_hits(self._result, self._row)
+            self._engine = self._result = None  # release the batch arrays
+        return self._hits
+
+    def __len__(self) -> int:
+        return len(self._materialize())
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def __repr__(self) -> str:
+        return repr(self._materialize())
+
+
 class _ClientFuture:
-    """Future-shaped handle that defers Hit hydration to the CALLING thread.
+    """Future-shaped handle resolving to LazyHits row views.
 
     The dispatcher resolves the inner future with ``(engine, QueryResult,
-    row0, n_rows)``; each client then pays for its own rows' Hit
-    construction inside its ``result()`` wait. Hydration was the dispatcher
-    thread's dominant per-query cost (~10 Hit objects per query built
-    serially for every client), capping served throughput far below the
-    engine; spread across client threads it overlaps the next batch's
-    dispatch."""
+    row0, n_rows)``; ``result()`` wraps each row in a `LazyHits` so Hit
+    construction happens only on access, in the reader's thread."""
 
     __slots__ = ("_inner", "_unwrap", "_value", "_has_value")
 
@@ -77,9 +117,8 @@ class _ClientFuture:
     def result(self, timeout: Optional[float] = None):
         if not self._has_value:
             engine, res, row0, n_rows = self._inner.result(timeout)
-            hits = [engine.hydrate_hits(res, row0 + j)
-                    for j in range(n_rows)]
-            self._value = hits[0] if self._unwrap else hits
+            rows = [LazyHits(engine, res, row0 + j) for j in range(n_rows)]
+            self._value = rows[0] if self._unwrap else rows
             self._has_value = True
         return self._value
 
@@ -327,7 +366,18 @@ class QueryServer:
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
-                while len(inflight) > 1:
+                # middle-stage the batches BEHIND the one just dispatched:
+                # an iterative pending's advance() waits out its hop-1 and
+                # dispatches hop-2 async, so the device queue interleaves
+                # batch i's hop-2 with batch i+1's hop-1 instead of the
+                # final result() wait serializing both hops per batch
+                depth = 1
+                for p, _ in list(inflight)[:-1]:
+                    adv = getattr(p, "advance", None)
+                    if adv is not None:
+                        adv()
+                        depth = 2  # 3 stages in flight for 2-hop batches
+                while len(inflight) > depth:
                     self._finish(*inflight.popleft())
             # nothing else queued: resolve immediately rather than letting a
             # lone synchronous caller wait out the next drain timeout

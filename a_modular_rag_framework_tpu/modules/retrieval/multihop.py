@@ -443,6 +443,21 @@ class IterativePending:
         self._hop_decay = hop_decay
         self._hop2_reserve = hop2_reserve
         self._done = None
+        self._ctx = None
+        self._p2 = None
+
+    def advance(self) -> None:
+        """Run the middle stage NOW: wait out hop-1, extract bridges, and
+        dispatch hop-2 (async) — leaving only the merge for ``result()``.
+        `QueryServer`'s loop calls this on the previous in-flight batch
+        right after dispatching the next one, so batch i's hop-2 program
+        queues behind batch i+1's hop-1 instead of serializing inside the
+        final result wait (the server-side analogue of
+        `iterative_retrieve_pipelined`'s 3-stage pipeline)."""
+        if self._done is not None or self._ctx is not None:
+            return
+        self._ctx, self._p2 = _prep_and_dispatch_hop2(
+            self._engine, self._queries, self._p1.result(), **self._kw)
 
     def result(self):
         if self._done is not None:
@@ -450,8 +465,8 @@ class IterativePending:
         from ...core.dto import HitBatch
         from ...engine.query_engine import QueryResult
 
-        ctx, p2 = _prep_and_dispatch_hop2(
-            self._engine, self._queries, self._p1.result(), **self._kw)
+        self.advance()
+        ctx, p2 = self._ctx, self._p2
         ids, scores, norms, diag = _merge_hop2(
             self._queries, ctx, p2.result() if p2 is not None else None,
             top_k=self._kw["top_k"], hop_decay=self._hop_decay,

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from a_modular_rag_framework_tpu.core.dataset_loader import SyntheticHotpotQALoader
+from a_modular_rag_framework_tpu.core.dto import Hit
 from a_modular_rag_framework_tpu.engine.query_engine import EngineConfig, TPUQueryEngine
 from a_modular_rag_framework_tpu.engine.server import QueryServer
 from a_modular_rag_framework_tpu.index.builder import build_packed_index
@@ -32,8 +33,13 @@ def test_server_batches_concurrent_queries(engine):
     with server:
         futures = [server.submit(s["question"]) for s in samples]
         results = [f.result(timeout=60) for f in futures]
-    assert all(isinstance(r, list) and r for r in results)
+    # resolution is a lazy Sequence[Hit] view (Hit construction deferred
+    # to first access — the serving hot path never builds unread Hits)
+    from collections.abc import Sequence
+
+    assert all(isinstance(r, Sequence) and len(r) for r in results)
     assert all(h.id.startswith("sent::") for h in results[0])
+    assert isinstance(results[0][0], Hit) and list(results[0])
     assert server.stats["queries"] == len(samples)
     # micro-batching actually batched something
     assert max(server.stats["batch_sizes"]) > 1
