@@ -3,6 +3,7 @@ from .mock_provider import MockProvider
 from .ollama_provider import OllamaProvider
 from .openai_provider import OpenAIProvider
 from .tpu_embed_provider import TPUEmbedProvider
+from .transcript_provider import TranscriptRecorder, TranscriptReplayProvider
 
 __all__ = [
     "LLMProvider",
@@ -10,4 +11,6 @@ __all__ = [
     "OllamaProvider",
     "OpenAIProvider",
     "TPUEmbedProvider",
+    "TranscriptRecorder",
+    "TranscriptReplayProvider",
 ]
