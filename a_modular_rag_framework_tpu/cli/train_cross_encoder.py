@@ -112,13 +112,19 @@ def main(argv: Sequence[str] | None = None) -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--subword_ngrams", type=int, default=8)
     ap.add_argument("--variety", action="store_true")
+    ap.add_argument("--collide", action="store_true",
+                    help="train on the colliding-entity distribution the "
+                         "scale bench corpora sample (shared first/surname "
+                         "tokens across hundreds of distractors)")
     ap.add_argument("--out", default="data/cross_encoder.npz")
     args = ap.parse_args(argv)
 
     cfg = CrossEncoderConfig(subword_ngrams=args.subword_ngrams)
+    loader_kw = {"variety": args.variety}
+    if args.collide:
+        loader_kw.update(collide_entities=True, n_distractors=8)
     samples = SyntheticHotpotQALoader(
-        {"count": args.synthetic, "seed": args.seed,
-         "variety": args.variety}).load()
+        {"count": args.synthetic, "seed": args.seed, **loader_kw}).load()
     rng = np.random.default_rng(args.seed)
     queries, lists, labels = build_lists(samples, args.m_cands, rng)
     print(f"training lists: {len(queries)} (M={args.m_cands})", flush=True)
@@ -149,7 +155,7 @@ def main(argv: Sequence[str] | None = None) -> None:
 
     heldout = SyntheticHotpotQALoader(
         {"count": args.eval_samples, "seed": args.eval_seed,
-         "variety": args.variety}).load()
+         **loader_kw}).load()
     report = eval_rerank(heldout, reranker)
     print(json.dumps({"heldout_seed": args.eval_seed, **report}))
 

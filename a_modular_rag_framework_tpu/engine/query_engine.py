@@ -67,6 +67,13 @@ class EngineConfig:
     bm25_doc_cap: int = 64  # sorted path: doc-major window for exact re-score
     fusion_impl: str = "compact"  # "compact" (pool union, no [B,N]) | "dense"
     graph_window: int = 1
+    # iterative 2-hop mode: graph window for the HOP-2 program only
+    # (None = same as the hop's graph_window argument). Hop-2 queries
+    # already name the bridge entity, so BM25/dense land directly in the
+    # bridge doc and the wave only needs doc-adjacency (window 1), not the
+    # cross-doc 2-hop expansion hop-1 needs — at scale the second wave is
+    # a large share of the program (multihop._prep_and_dispatch_hop2).
+    hop2_graph_window: Optional[int] = None
     include_entity_graph: bool = True
     alpha_text: float = 0.4
     alpha_graph: float = 0.2

@@ -400,8 +400,15 @@ def _prep_and_dispatch_hop2(
            "active": active, "diagnostics": diagnostics}
     if not any(active):
         return ctx, None
+    # hop-2 may run a narrower graph wave than hop-1 (EngineConfig.
+    # hop2_graph_window): hop-2 queries name the bridge entity, so the
+    # cross-doc second wave is redundant device work there
+    hop2_window = getattr(getattr(engine, "config", None),
+                          "hop2_graph_window", None)
+    if hop2_window is None:
+        hop2_window = graph_window
     kw = dict(expansions=hop2_expansions, top_k=top_k,
-              graph_window=graph_window,
+              graph_window=hop2_window,
               trace_id=f"{trace_id}-hop2" if trace_id else "")
     if prepruned:
         kw["prepruned"] = True

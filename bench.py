@@ -149,13 +149,14 @@ def make_engine(idx, batch, *, encoder=None, **overrides):
     return TPUQueryEngine(idx, encoder=encoder, config=EngineConfig(**cfg))
 
 
-def make_scale_engine(idx, encoder=None):
+def make_scale_engine(idx, encoder=None, **overrides):
     """Tuned operating point for the >=100k-row scale rows (see A/B note
     at SCALE_BATCH above)."""
-    return make_engine(idx, SCALE_BATCH, encoder=encoder,
-                       bm25_term_topm=SCALE_TERM_TOPM,
-                       graph_compact_cap=SCALE_COMPACT_CAP,
-                       dense_impl="auto")  # no [B, N] at corpus scale
+    cfg = dict(bm25_term_topm=SCALE_TERM_TOPM,
+               graph_compact_cap=SCALE_COMPACT_CAP,
+               dense_impl="auto")  # no [B, N] at corpus scale
+    cfg.update(overrides)
+    return make_engine(idx, SCALE_BATCH, encoder=encoder, **cfg)
 
 
 def dense_only_block(engine, samples, questions) -> dict:
@@ -172,6 +173,93 @@ def dense_only_block(engine, samples, questions) -> dict:
         dsec = min(dsec, time.time() - t0)
     out = {"qps": round(len(questions) / dsec, 1)}
     out.update(evaluate_dense(engine, samples[:128], k=TOP_K))
+    return out
+
+
+def load_reranker():
+    """Cross-encoder checkpoint for the scale-row rerank stage (VERDICT r3
+    items 4+5): prefer the collide-trained checkpoint (same distribution
+    as the scale corpora), fall back to the plain one. (None, label) when
+    neither exists (fresh checkout before tools/restore_artifacts.py)."""
+    from a_modular_rag_framework_tpu.models.cross_encoder import (
+        CrossEncoderConfig,
+        CrossEncoderReranker,
+    )
+
+    data = Path(__file__).resolve().parent / "data"
+    for name in ("cross_encoder_collide.npz", "cross_encoder.npz"):
+        p = data / name
+        if p.exists():
+            return (CrossEncoderReranker.load(
+                str(p), CrossEncoderConfig(subword_ngrams=8)), name)
+    return None, None
+
+
+def _rerank_quality(engine, samples, reranker) -> dict:
+    """recall@10 / MRR before vs after cross-encoder reranking of the
+    engine's fused top-10, over samples[:128] (the rows' eval slice)."""
+    from a_modular_rag_framework_tpu.eval.harness import gold_hit_ids
+    from a_modular_rag_framework_tpu.eval.metrics import mrr as mrr_fn
+    from a_modular_rag_framework_tpu.eval.metrics import recall_at_k
+
+    docs = engine.index.corpus.docs
+    hid = engine.index.corpus.hit_id
+    eval_qs = [s["question"] for s in samples[:128]]
+    r = engine.query_batch(eval_qs, top_k=TOP_K)
+    ids = np.asarray(r.hits.ids)[: len(eval_qs)]
+    texts = [[docs[int(i)].get("text", "") if i >= 0 else ""
+              for i in ids[row]] for row in range(len(eval_qs))]
+    orders = reranker.rerank_batch(eval_qs, texts)
+    rec_b, rec_a, mrr_b, mrr_a = [], [], [], []
+    for row, s in enumerate(samples[:128]):
+        gold = gold_hit_ids(s)
+        got = [hid(int(i)) for i in ids[row] if i >= 0]
+        re_ids = [int(ids[row][j]) for j in orders[row]]
+        got2 = [hid(i) for i in re_ids if i >= 0]
+        rec_b.append(recall_at_k(got, gold, TOP_K))
+        rec_a.append(recall_at_k(got2, gold, TOP_K))
+        mrr_b.append(mrr_fn(got, gold))
+        mrr_a.append(mrr_fn(got2, gold))
+    return {
+        "recall_at_10": round(float(np.mean(rec_a)), 4),
+        "recall_before": round(float(np.mean(rec_b)), 4),
+        "mrr": round(float(np.mean(mrr_a)), 4),
+        "mrr_before": round(float(np.mean(mrr_b)), 4),
+    }
+
+
+def rerank_block(engine, samples, questions, reranker) -> dict:
+    """Cross-encoder rerank over the engine's fused top-10 (VERDICT r3
+    item 5: gold to rank 1). Reranking WITHIN the top-k cannot change
+    recall@k, so recall is held by construction; the block reports the
+    MRR delta and the stage's cost at the row's operating batch
+    (qps_with_rerank vs the row's sequential engine qps)."""
+    out = _rerank_quality(engine, samples, reranker)
+    docs = engine.index.corpus.docs
+
+    # ---- cost: score the full operating batch's top-k pair stream ----
+    B = len(questions)
+    res = engine.query_batch(questions)
+    bids = np.asarray(res.hits.ids)
+    flat_q = [q for row, q in enumerate(questions) for _ in bids[row]]
+    flat_p = [docs[int(i)].get("text", "") if i >= 0 else ""
+              for row in bids for i in row]
+    reranker.score_pairs(flat_q[: reranker.pair_budget],
+                         flat_p[: reranker.pair_budget])  # compile/warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        reranker.score_pairs(flat_q, flat_p)
+        best = min(best, time.time() - t0)
+    t0 = time.time()
+    engine.query_batch(questions)
+    eng_sec = time.time() - t0
+    out.update({
+        "pairs_per_sec": round(len(flat_q) / best, 1),
+        "rerank_ms_per_batch": round(best * 1e3, 1),
+        "qps_with_rerank": round(B / (eng_sec + best), 1),
+        "qps_cost_pct": round(100.0 * best / (eng_sec + best), 1),
+    })
     return out
 
 
@@ -439,6 +527,73 @@ def _steady_exact_probe(Qa, D, k, fl) -> dict:
     return out
 
 
+def _serve_closed_loop(server, questions, *, n_clients, run_s,
+                       unit=1, mode="single") -> dict:
+    """N closed-loop clients against a QueryServer; each client loops
+    submit->wait on `unit` queries at a time. -> completed QPS + p50/p99
+    submit->result latency."""
+    import threading
+
+    latencies: list = []
+    lock = threading.Lock()
+    stop_box = [float("inf")]
+
+    def client(seed: int) -> None:
+        i = seed
+        while time.time() < stop_box[0]:
+            t0 = time.time()
+            if unit == 1:
+                server.submit(questions[i % len(questions)],
+                              mode=mode).result()
+            else:
+                server.submit_many(
+                    [questions[(i + j) % len(questions)]
+                     for j in range(unit)], mode=mode).result()
+            i += unit
+            dt = time.time() - t0
+            with lock:
+                latencies.append(dt)
+
+    stop_box[0] = time.time() + run_s
+    t_start = time.time()
+    threads = [threading.Thread(target=client, args=(j * 131,))
+               for j in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.time() - t_start
+    lat = np.sort(np.asarray(latencies, dtype=np.float64))
+    if not lat.size:
+        return {"clients": n_clients, "unit": unit, "completed": 0}
+    return {
+        "clients": n_clients, "unit": unit,
+        "completed": int(lat.size) * unit,
+        "qps": round(lat.size * unit / elapsed, 1) if elapsed else 0.0,
+        "p50_ms": round(float(lat[int(0.50 * (lat.size - 1))]) * 1e3, 1),
+        "p99_ms": round(float(lat[int(0.99 * (lat.size - 1))]) * 1e3, 1),
+    }
+
+
+def serving_scale_block(engine, questions) -> dict:
+    """Serving row at the 1M scale (VERDICT r3 item 3): the scale engine
+    itself behind QueryServer. Batched units (16 clients x 256 queries =
+    one full bucket in flight) are the throughput surface; single_512 is
+    the closed-loop single-query row (512 singles coalesce into one
+    bucket-padded dispatch, so latency ~= the device program)."""
+    from a_modular_rag_framework_tpu.engine.server import QueryServer
+
+    out = {}
+    with QueryServer(engine, max_batch=len(questions),
+                     max_wait_ms=3.0) as server:
+        server.submit_many(questions[:256]).result()  # warm the path
+        out["batched_16x256"] = _serve_closed_loop(
+            server, questions, n_clients=16, run_s=6.0, unit=256)
+        out["single_512"] = _serve_closed_loop(
+            server, questions, n_clients=512, run_s=6.0)
+    return out
+
+
 def serving_block(idx, questions) -> dict:
     """BASELINE.json config 5: concurrent clients against QueryServer.
     N client threads each loop submit->wait on single queries; report
@@ -672,6 +827,102 @@ def splade_block(idx, samples, n_eval: int = 128):
     return out
 
 
+def channels_block(engine, samples, quality, sp) -> dict:
+    """VERDICT r3 item 2: ONE comparable table — recall@10 / MRR per
+    retrieval channel, {bm25, splade, dense, hybrid, hybrid+rerank}, on
+    the plain bench corpus AND the variety corpus (paraphrased
+    predicates = vocabulary-mismatch regime). bm25/splade rows reuse the
+    splade_block's measurements (same corpus/slice); dense/hybrid/rerank
+    run here. The variety side builds a packed index + engine over the
+    variety corpus with the variety-trained subword TextEncoder."""
+    from a_modular_rag_framework_tpu.eval.harness import evaluate_dense
+
+    reranker, rr_label = load_reranker()
+    data = Path(__file__).resolve().parent / "data"
+
+    def pick(d, rec_key, mrr_key):
+        if isinstance(d, dict) and rec_key in d:
+            return {"recall_at_10": d[rec_key], "mrr": d.get(mrr_key)}
+        return None
+
+    plain = {
+        "bm25": pick(sp, "bm25_baseline_recall_at_10", "bm25_baseline_mrr"),
+        "splade": pick(sp, "sparse_recall_at_10", "sparse_mrr"),
+        "hybrid": {"recall_at_10": round(quality[f"recall_at_{TOP_K}"], 4),
+                   "mrr": round(quality["mrr"], 4)},
+    }
+    try:
+        plain["dense"] = evaluate_dense(engine, samples[:128], k=TOP_K)
+    except Exception as e:
+        plain["dense"] = {"error": repr(e)[:200]}
+    if reranker is not None:
+        try:
+            rq = _rerank_quality(engine, samples, reranker)
+            plain["hybrid_rerank"] = {"recall_at_10": rq["recall_at_10"],
+                                      "mrr": rq["mrr"],
+                                      "checkpoint": rr_label}
+        except Exception as e:
+            plain["hybrid_rerank"] = {"error": repr(e)[:200]}
+
+    out = {"plain": {k: v for k, v in plain.items() if v is not None}}
+
+    # ---- variety corpus: paraphrased predicates, unique entities ----
+    try:
+        from a_modular_rag_framework_tpu.core.dataset_loader import (
+            SyntheticHotpotQALoader,
+        )
+        from a_modular_rag_framework_tpu.eval.harness import (
+            evaluate_retrieval,
+        )
+        from a_modular_rag_framework_tpu.index.builder import (
+            build_packed_index,
+        )
+        from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+        from a_modular_rag_framework_tpu.models.encoder import (
+            EncoderConfig,
+            TextEncoder,
+        )
+
+        vsamples = SyntheticHotpotQALoader(
+            {"count": 512, "seed": 0, "unique_entities": True,
+             "variety": True}).load()
+        corpus = SentenceCorpus.from_hotpotqa(vsamples)
+        venc = None
+        enc_ckpt = data / "encoder.npz"
+        if enc_ckpt.exists():
+            venc = TextEncoder.load(str(enc_ckpt), EncoderConfig(
+                d_model=64, n_layers=2, subword_ngrams=8))
+        vidx = build_packed_index(corpus, encoder=venc)
+        vengine = make_engine(vidx, 128, encoder=venc)
+        vq = evaluate_retrieval(vengine, vsamples[:128], k=TOP_K,
+                                batch_size=128)
+        sv = sp.get("variety_in_domain") if isinstance(sp, dict) else None
+        variety = {
+            "bm25": pick(sv, "bm25_recall_at_10", "bm25_mrr"),
+            "splade": pick(sv, "splade_recall_at_10", "splade_mrr"),
+            "hybrid": {"recall_at_10": round(vq[f"recall_at_{TOP_K}"], 4),
+                       "mrr": round(vq["mrr"], 4)},
+            "dense_encoder": "encoder.npz(subword)" if venc else "hash64",
+        }
+        try:
+            variety["dense"] = evaluate_dense(vengine, vsamples[:128],
+                                              k=TOP_K)
+        except Exception as e:
+            variety["dense"] = {"error": repr(e)[:200]}
+        if reranker is not None:
+            try:
+                rq = _rerank_quality(vengine, vsamples, reranker)
+                variety["hybrid_rerank"] = {
+                    "recall_at_10": rq["recall_at_10"], "mrr": rq["mrr"],
+                    "checkpoint": rr_label}
+            except Exception as e:
+                variety["hybrid_rerank"] = {"error": repr(e)[:200]}
+        out["variety"] = {k: v for k, v in variety.items() if v is not None}
+    except Exception as e:
+        out["variety"] = {"error": repr(e)[:200]}
+    return out
+
+
 def train_step_mfu() -> dict:
     """Encoder train step: analytic FLOPs vs measured step time."""
     import jax
@@ -836,7 +1087,12 @@ def main() -> None:
         if sp:
             extras["splade"] = sp
     except Exception as e:
+        sp = None
         extras["splade"] = {"error": repr(e)[:200]}
+    try:
+        extras["channels"] = channels_block(engine, samples, quality, sp)
+    except Exception as e:
+        extras["channels"] = {"error": repr(e)[:200]}
 
     # ---- ~100k-passage scale row (colliding-distractor corpus) ----
     try:
@@ -868,6 +1124,14 @@ def main() -> None:
                 engine1, samples1, q1)
         except Exception as e:
             extras["scale_100k"]["dense_only"] = {"error": repr(e)[:200]}
+        try:
+            reranker, rr_label = load_reranker()
+            if reranker is not None:
+                extras["scale_100k"]["rerank"] = rerank_block(
+                    engine1, samples1, q1, reranker)
+                extras["scale_100k"]["rerank"]["checkpoint"] = rr_label
+        except Exception as e:
+            extras["scale_100k"]["rerank"] = {"error": repr(e)[:200]}
     except Exception as e:
         extras["scale_100k"] = {"error": repr(e)}
 
@@ -922,6 +1186,25 @@ def main() -> None:
                     enginel, samplesl, ql)
             except Exception as e:
                 extras[label]["dense_only"] = {"error": repr(e)[:200]}
+            try:
+                reranker, rr_label = load_reranker()
+                if reranker is not None:
+                    extras[label]["rerank"] = rerank_block(
+                        enginel, samplesl, ql, reranker)
+                    extras[label]["rerank"]["checkpoint"] = rr_label
+            except Exception as e:
+                extras[label]["rerank"] = {"error": repr(e)[:200]}
+            if label == "scale_1m":
+                try:
+                    srv1m = serving_scale_block(enginel, ql)
+                    if isinstance(extras.get("serving"), dict):
+                        extras["serving"]["scale_1m"] = srv1m
+                    else:
+                        extras["serving"] = {"scale_1m": srv1m}
+                except Exception as e:
+                    srv = extras.setdefault("serving", {})
+                    if isinstance(srv, dict):
+                        srv["scale_1m"] = {"error": repr(e)[:200]}
             del enginel, idxl
         except Exception as e:
             extras[label] = {"error": repr(e)}
@@ -985,7 +1268,18 @@ def _condense_extras(extras: dict) -> dict:
                           "variety_in_domain", "error") if k in sp}
     ch = extras.get("channels")
     if isinstance(ch, dict):
-        out["channels"] = ch
+        slim_keys = ("recall_at_10", "mrr", "dense_2hop_recall_at_10",
+                     "dense_2hop_mrr", "error")
+        slim = {}
+        for side, rows in ch.items():
+            if not isinstance(rows, dict):
+                slim[side] = rows
+                continue
+            slim[side] = {
+                name: ({k: v for k, v in r.items() if k in slim_keys}
+                       if isinstance(r, dict) else r)
+                for name, r in rows.items()}
+        out["channels"] = slim
     return out
 
 

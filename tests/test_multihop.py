@@ -91,6 +91,37 @@ def test_iterative_pipelined_matches_sequential(setup):
         assert d1["hop2_active"] == d2["hop2_active"]
 
 
+def test_hop2_graph_window_reaches_hop2_dispatch(setup):
+    """EngineConfig.hop2_graph_window narrows the HOP-2 program's graph
+    wave only: hop-1 keeps the caller's window, hop-2 dispatches with the
+    configured one (None = parity with hop-1)."""
+    from dataclasses import replace
+
+    engine, samples = setup
+    qs = [s["question"] for s in samples[:16]]
+
+    seen: list = []
+    orig = engine.query_batch_async
+
+    def spy(queries, **kw):
+        seen.append(kw.get("graph_window"))
+        return orig(queries, **kw)
+
+    engine.query_batch_async = spy  # both hops route through the async seam
+    try:
+        iterative_retrieve(engine, qs, top_k=20, graph_window=2)
+        assert seen == [2, 2], f"parity default broke: {seen}"
+        seen.clear()
+        engine.config = replace(engine.config, hop2_graph_window=1)
+        ids_narrow, *_ = iterative_retrieve(engine, qs, top_k=20,
+                                            graph_window=2)
+        assert seen == [2, 1], f"hop-2 window not applied: {seen}"
+        assert ids_narrow.shape == (16, 20)
+    finally:
+        del engine.query_batch_async
+        engine.config = replace(engine.config, hop2_graph_window=None)
+
+
 def test_vectorized_merge_matches_python_oracle():
     """_merge_hop2 (vectorized) == _merge_hop2_py (loop oracle) on random
     tie-free inputs across reserve settings, inactive rows, -1 padding,

@@ -51,6 +51,12 @@ TRAININGS = [
     ("a_modular_rag_framework_tpu.cli.train_cross_encoder",
      ["--steps", "300"],
      DATA / "cross_encoder.npz"),
+    # the scale rows' rerank stage scores the COLLIDING distribution
+    # (shared name tokens across hundreds of distractors) — train the
+    # reranker on it (bench.load_reranker prefers this checkpoint)
+    ("a_modular_rag_framework_tpu.cli.train_cross_encoder",
+     ["--collide", "--steps", "300"],
+     DATA / "cross_encoder_collide.npz"),
 ]
 
 
@@ -116,16 +122,55 @@ def train_checkpoints() -> None:
         print(f"{out.name}: trained in {time.time()-t0:.1f}s", flush=True)
 
 
+def restore_sidecars(skip_5m: bool) -> None:
+    """Learned-embedding sidecars for the scale caches (VERDICT r4 item 1):
+    train the collide-distribution subword encoder (tools/dense_lab.py),
+    then re-embed every present cache into embeddings_learned.npy. These
+    are TPU tools — run them WITHOUT the forced-CPU env (the trainings
+    above are host-sized; a 5.17M-row re-embed is not)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    enc = DATA / "encoder_collide.npz"
+    if not enc.exists():
+        t0 = time.time()
+        cmd = [sys.executable, "tools/dense_lab.py", "--steps", "1500",
+               "--batch", "1024", "--out", str(enc)]
+        print("+", " ".join(cmd[1:]), flush=True)
+        subprocess.run(cmd, check=True, cwd=str(REPO), env=env)
+        print(f"{enc.name}: trained in {time.time()-t0:.1f}s", flush=True)
+    else:
+        print(f"{enc.name}: exists, skipping", flush=True)
+    caches = ["bench_cache", "bench_cache_100k", "bench_cache_1m"]
+    if not skip_5m:
+        caches.append("bench_cache_5m")
+    for name in caches:
+        cache = DATA / name
+        if not (cache / "manifest.json").exists():
+            continue
+        if (cache / "embeddings_learned.npy").exists():
+            print(f"{name}: sidecar exists, skipping", flush=True)
+            continue
+        t0 = time.time()
+        cmd = [sys.executable, "tools/reembed_index.py",
+               "--cache", str(cache), "--encoder", str(enc)]
+        print("+", " ".join(cmd[1:]), flush=True)
+        subprocess.run(cmd, check=True, cwd=str(REPO), env=env)
+        print(f"{name}: re-embedded in {time.time()-t0:.1f}s", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-5m", action="store_true")
     ap.add_argument("--skip-caches", action="store_true")
     ap.add_argument("--skip-training", action="store_true")
+    ap.add_argument("--skip-sidecars", action="store_true")
     args = ap.parse_args()
     if not args.skip_caches:
         build_caches(args.skip_5m)
     if not args.skip_training:
         train_checkpoints()
+    if not args.skip_sidecars:
+        restore_sidecars(args.skip_5m)
     print("restore_artifacts: done", flush=True)
 
 
