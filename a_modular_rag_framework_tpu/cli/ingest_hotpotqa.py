@@ -53,6 +53,7 @@ def ingest(
     embed_dtype: str = "bfloat16",
     build_graphs: bool = True,
     pack: bool = True,
+    index_titles: bool = False,
 ) -> Dict[str, Any]:
     gc = GraphConstructionArrays(root_dir=str(graph_root), write_analysis=False)
     if build_graphs:
@@ -71,7 +72,9 @@ def ingest(
         corpus = SentenceCorpus(docs=docs)
         packed_dir = docs_out.with_suffix(docs_out.suffix + ".packed")
         idx = build_packed_index(corpus, embed_dim=embed_dim,
-                                 embed_dtype=embed_dtype, out_dir=str(packed_dir))
+                                 embed_dtype=embed_dtype,
+                                 index_titles=index_titles,
+                                 out_dir=str(packed_dir))
         stats["packed"] = idx.manifest.get("build_stats", {})
         stats["packed_dir"] = str(packed_dir)
     return stats
@@ -91,6 +94,9 @@ def main(argv=None) -> None:
                     choices=["bfloat16", "float32"])
     ap.add_argument("--no_graphs", action="store_true")
     ap.add_argument("--no_pack", action="store_true")
+    ap.add_argument("--index_titles", action="store_true",
+                    help="prepend doc titles to the indexed text (natural "
+                         "discourse corpora; see index/builder.py)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -112,6 +118,7 @@ def main(argv=None) -> None:
         embed_dtype=args.embed_dtype,
         build_graphs=not args.no_graphs,
         pack=not args.no_pack,
+        index_titles=args.index_titles,
     )
     print(json.dumps(stats, indent=2))
 

@@ -31,7 +31,7 @@ from ..ops.bm25 import Bm25DeviceIndex
 
 def build_sentence_graph(
     corpus: SentenceCorpus, max_degree: int = 32, entity_chain_cap: int = 64,
-    use_native: bool = True,
+    use_native: bool = True, texts: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Two sentence-adjacency channel tables, each [N, deg] int32 (-1 pad).
 
@@ -44,6 +44,12 @@ def build_sentence_graph(
         common entities don't blow up degree; BFS reaches the whole group in
         <= window hops). This is the entity-link adjacency for the 2-hop
         engine (BASELINE.json config 3).
+
+    ``texts`` overrides the per-row text used for ENTITY extraction only
+    (`build_packed_index` passes title-augmented texts when
+    ``index_titles`` is set, so pronoun-heavy natural sentences join their
+    own document's entity chain); doc adjacency keys on (title, sid)
+    regardless.
     """
     n = len(corpus)
 
@@ -81,6 +87,8 @@ def build_sentence_graph(
                 next_nbrs[nxt, cb] = row
                 next_counts[nxt] = cb + 1
 
+    ent_texts = (texts if texts is not None
+                 else [d.get("text", "") for d in corpus.docs])
     if use_native:
         try:
             from ..native import entity_graph_native
@@ -88,14 +96,14 @@ def build_sentence_graph(
             entity_graph_native = None
         if entity_graph_native is not None:
             ent_nbrs = entity_graph_native(
-                [d.get("text", "") for d in corpus.docs],
+                ent_texts,
                 max_degree=max_degree, entity_chain_cap=entity_chain_cap)
             if ent_nbrs is not None:
                 return {"next_in_doc": next_nbrs, "entity": ent_nbrs}
 
     ent_nbrs, ent_counts = make(max_degree)
     entity_rows: Dict[str, List[int]] = {}
-    for row, d in enumerate(corpus.docs):
+    for row, row_text in enumerate(ent_texts):
         # Title mentions stay in: a sentence naming entity B must link to the
         # sentences of the document titled B — that's the bridge that makes
         # 2-hop questions reachable (hop 1 finds "A worked with B", hop 2
@@ -105,7 +113,7 @@ def build_sentence_graph(
         # different orders and — at degree-saturated rows — pack different
         # neighbors. First-appearance order makes the build reproducible
         # (and is what the native C++ builder implements).
-        for ent in dict.fromkeys(simple_ner(d.get("text", ""))):
+        for ent in dict.fromkeys(simple_ner(row_text)):
             lst = entity_rows.setdefault(ent, [])
             if len(lst) < entity_chain_cap:
                 lst.append(row)
@@ -133,14 +141,29 @@ def build_packed_index(
     bm25_b: float = 0.75,
     bm25_phrase_tokens: bool = True,
     graph_max_degree: int = 32,
+    index_titles: bool = False,
     out_dir: Optional[str] = None,
     progress: Optional[Any] = None,
 ) -> PackedIndex:
-    """Run the streaming build; optionally persist to ``out_dir``."""
+    """Run the streaming build; optionally persist to ``out_dir``.
+
+    ``index_titles``: prepend each sentence's document TITLE to the text
+    every channel indexes (BM25 postings, embeddings, entity graph). On
+    natural discourse a document's later sentences rarely repeat its
+    subject ("He was born in Cincinnati ..."), so without the title they
+    are unreachable by the very tokens that name them — the standard
+    HotpotQA practice is to index title+sentence. Off by default: the
+    synthetic corpora name their subject in every sentence, and the
+    reference indexes bare text (text_index.py:40-50), so parity holds.
+    Hit ids, displayed text, and doc adjacency are unaffected.
+    """
     if encoder is None:
         encoder = HashEmbedEncoder(dim=embed_dim)
 
     texts = corpus.texts()
+    if index_titles:
+        texts = [f"{d.get('title') or ''} . {t}" if d.get("title") else t
+                 for d, t in zip(corpus.docs, texts)]
     n = len(texts)
     t0 = time.time()
 
@@ -177,13 +200,16 @@ def build_packed_index(
                                  phrase_tokens=bm25_phrase_tokens)
     t_bm25 = time.time() - t1
     t2 = time.time()
-    graph_tables = build_sentence_graph(corpus, max_degree=graph_max_degree)
+    graph_tables = build_sentence_graph(
+        corpus, max_degree=graph_max_degree,
+        texts=texts if index_titles else None)
     t_graph = time.time() - t2
 
     total = time.time() - t0
     stats = {
         "build_stats": {
             "passages": n,
+            "index_titles": bool(index_titles),
             "total_sec": round(total, 3),
             "embed_sec": round(t_embed, 3),
             "bm25_sec": round(t_bm25, 3),

@@ -99,7 +99,7 @@ def apply_cross_encoder(params: Dict[str, Any], token_ids: jax.Array,
     for layer in params["layers"]:
         h = _layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"])
         x = x + _attention(h, layer["wqkv"], layer["wo"], mask,
-                           cfg.n_heads, cfg.dtype)
+                           cfg.n_heads, cfg.dtype, cfg.attn_dtype)
         h = _layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"])
         h = jnp.dot(h.astype(cfg.dtype), layer["w1"].astype(cfg.dtype),
                     preferred_element_type=jnp.float32)

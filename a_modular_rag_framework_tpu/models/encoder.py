@@ -51,6 +51,12 @@ class EncoderConfig:
     subword_ngrams: int = 1
     ngram_min: int = 3
     ngram_max: int = 5
+    # dtype of the attention MATMULS (QK^T and attn@V). None = float32
+    # (the legacy default every shipped checkpoint/sidecar was embedded
+    # with — bit-stable). bfloat16 runs both on the MXU at full rate with
+    # f32 accumulation + f32 softmax (the standard TPU recipe): the MFU
+    # probe measures the uplift (bench.train_step_mfu attn_dtype sweep).
+    attn_dtype: Any = None
 
 
 # ---------------- tokenizer ----------------
@@ -168,8 +174,9 @@ def _layer_norm(x, g, b, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _attention(x, wqkv, wo, mask, n_heads: int, dtype):
+def _attention(x, wqkv, wo, mask, n_heads: int, dtype, attn_dtype=None):
     B, L, D = x.shape
+    ad = attn_dtype if attn_dtype is not None else jnp.float32
     qkv = jnp.dot(x.astype(dtype), wqkv.astype(dtype),
                   preferred_element_type=jnp.float32)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -179,12 +186,14 @@ def _attention(x, wqkv, wo, mask, n_heads: int, dtype):
         return t.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    # QK^T / attn@V at attn_dtype with f32 accumulation; softmax stays f32
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(ad), k.astype(ad),
                         preferred_element_type=jnp.float32) / jnp.sqrt(dh)
     neg = jnp.finfo(jnp.float32).min
     logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
     attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(jnp.float32))
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(ad), v.astype(ad),
+                     preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return jnp.dot(out.astype(dtype), wo.astype(dtype),
                    preferred_element_type=jnp.float32)
@@ -207,7 +216,7 @@ def encode_hidden(params: Dict[str, Any], token_ids: jax.Array,
     for layer in params["layers"]:
         h = _layer_norm(x, layer["ln1"]["g"], layer["ln1"]["b"])
         x = x + _attention(h, layer["wqkv"], layer["wo"], mask,
-                           cfg.n_heads, cfg.dtype)
+                           cfg.n_heads, cfg.dtype, cfg.attn_dtype)
         h = _layer_norm(x, layer["ln2"]["g"], layer["ln2"]["b"])
         h = jnp.dot(h.astype(cfg.dtype), layer["w1"].astype(cfg.dtype),
                     preferred_element_type=jnp.float32)

@@ -51,13 +51,19 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
                     text_runs: Optional[Sequence[Sequence[tuple]]] = None,
                     q_ents: Optional[List[str]] = None,
                     q_tokens: Optional[set] = None,
+                    hit_titles: Optional[Sequence[str]] = None,
                     ) -> List[str]:
     """Bridge candidates: proper-noun spans co-occurring with a FULL question
     entity phrase in hop-1 evidence.
 
     Two filters kill the noise that sinks naive frequency ranking:
-      - the sentence must mention a question entity (true hop-1 evidence,
-        not a surname-collision distractor);
+      - the sentence must be ANCHORED to a question entity: the entity
+        phrase appears in the text, or (when ``hit_titles`` is given)
+        overlaps the sentence's own document title. The title clause is
+        what natural discourse needs — a document's later sentences
+        rarely repeat their subject ("The black-and-white horror classic
+        was directed by Alfred Hitchcock" never says "Psycho"), but they
+        live in the document the question names;
       - when ``known_titles`` is given, the span must be a document title in
         the corpus — a bridge is by definition the name of another document
         (this also drops sentence-initial capitalized words like "Later").
@@ -77,7 +83,11 @@ def bridge_entities(query: str, hit_texts: Sequence[str],
     for rank, text in enumerate(hit_texts):
         text = text or ""
         if q_ents and not any(qe in text for qe in q_ents):
-            continue  # not a true hop-1 sentence
+            title = (hit_titles[rank] or "") if hit_titles is not None \
+                else ""
+            if not (title and any(qe in title or title in qe
+                                  for qe in q_ents)):
+                continue  # not a true hop-1 sentence
         if text_runs is not None:
             cands = text_runs[rank]
         else:
@@ -358,6 +368,7 @@ def _prep_and_dispatch_hop2(
             continue
         texts: List[str] = []
         runs: List[List[tuple]] = []
+        titles: List[str] = []
         for ii in ids_rows[b]:
             if ii < 0:
                 continue
@@ -366,6 +377,7 @@ def _prep_and_dispatch_hop2(
             if entry is None:
                 entry = doc_runs[ii] = doc_bridge_runs(text, known_titles)
             texts.append(text)
+            titles.append(docs[ii].get("title") or "")
             runs.append(entry)
         # query-side derivations shared by bridge ranking and hop-2 query
         # construction (each used to re-extract runs + re-tokenize)
@@ -374,7 +386,8 @@ def _prep_and_dispatch_hop2(
         bridges = bridge_entities(q, texts, max_entities=max_bridge_entities,
                                   known_titles=known_titles, text_runs=runs,
                                   q_ents=q_ents,
-                                  q_tokens=set(tokenize(q)))
+                                  q_tokens=set(tokenize(q)),
+                                  hit_titles=titles)
         variants = (hop2_queries_for(q, bridges, q_ents=q_ents)
                     if bridges else [])
         if prepruned and variants:

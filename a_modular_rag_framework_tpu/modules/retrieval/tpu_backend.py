@@ -46,20 +46,30 @@ def load_or_build_packed_index(
     embed_dtype: str = "bfloat16",
     encoder: Optional[Any] = None,
     cache: bool = True,
+    index_titles: bool = False,
 ) -> PackedIndex:
-    """Load the cached packed artifact for docs.jsonl, or build + cache it."""
+    """Load the cached packed artifact for docs.jsonl, or build + cache it.
+
+    ``index_titles`` (natural-discourse corpora: prepend doc titles to the
+    indexed text, see builder.build_packed_index) participates in cache
+    validity — a cached artifact built under the other setting is rebuilt.
+    """
     docs_path = Path(index_path)
     packed_dir = docs_path.with_suffix(docs_path.suffix + ".packed")
     if cache and (packed_dir / "manifest.json").exists():
         try:
             idx = PackedIndex.load(packed_dir)
-            if idx.embed_dim == embed_dim and idx.embed_dtype == embed_dtype:
+            built_titled = bool((idx.manifest.get("build_stats") or {})
+                                .get("index_titles"))
+            if (idx.embed_dim == embed_dim and idx.embed_dtype == embed_dtype
+                    and built_titled == bool(index_titles)):
                 return idx
         except Exception as e:
             logger.warning("packed index reload failed (%r); rebuilding", e)
     corpus = SentenceCorpus.from_jsonl(docs_path)
     return build_packed_index(
         corpus, encoder=encoder, embed_dim=embed_dim, embed_dtype=embed_dtype,
+        index_titles=bool(index_titles),
         out_dir=str(packed_dir) if (cache and len(corpus)) else None,
     )
 
@@ -112,6 +122,7 @@ class TPUHybridRetrievalBackend:
         cross_rerank_subword_ngrams: int = 8,
         sparse_impl: str = "bm25",
         splade_weights: str = "",
+        index_titles: bool = False,
     ):
         self.router = router
         self.sink = sink
@@ -172,7 +183,7 @@ class TPUHybridRetrievalBackend:
             if index is None:
                 index = load_or_build_packed_index(
                     index_path, embed_dim=embed_dim, embed_dtype=embed_dtype,
-                    encoder=encoder,
+                    encoder=encoder, index_titles=index_titles,
                 )
             config = EngineConfig(
                 top_k=default_top_k,

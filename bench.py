@@ -923,8 +923,68 @@ def channels_block(engine, samples, quality, sp) -> dict:
     return out
 
 
+def natural_block() -> dict:
+    """Quality on the hand-authored natural-language corpus (VERDICT r3
+    item 8): ~200 hand-varied questions over real-world documents in the
+    real HotpotQA schema (tools/natural_corpus_data.py — bespoke
+    sentences, no generator frames). Reports single-pass + iterative
+    recall@10/MRR under the SHIPPED fusion weights AND the reference-
+    parity weights, re-validating the two-stage fusion on data the
+    synthetic generator never shaped."""
+    path = (Path(__file__).resolve().parent / "data" / "natural"
+            / "natural_hotpotqa.json")
+    if not path.exists():
+        return None
+    from a_modular_rag_framework_tpu.eval.harness import evaluate_retrieval
+    from a_modular_rag_framework_tpu.index.builder import build_packed_index
+    from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
+
+    samples = json.loads(path.read_text())
+    corpus = SentenceCorpus.from_hotpotqa(samples)
+    # index_titles=True is the correct operating point for natural
+    # discourse (a doc's later sentences rarely repeat its subject);
+    # the no_titles row quantifies that choice on the same corpus.
+    idx = build_packed_index(corpus, index_titles=True)
+    out = {"samples": len(samples), "passages": idx.n_docs,
+           "index_titles": True}
+    B = 256
+    for label, overrides in (
+            ("tuned", {}),
+            ("parity", {"alpha_text": 0.4, "alpha_graph": 0.2,
+                        "alpha_dense": 0.4, "order_alphas": None})):
+        eng = make_engine(idx, B, **overrides)
+        q = evaluate_retrieval(eng, samples, k=TOP_K, batch_size=B)
+        rec_it, _ = iterative_eval(eng, samples, B, trials=0)
+        out[label] = {
+            "recall_at_10": round(q[f"recall_at_{TOP_K}"], 4),
+            "mrr": round(q["mrr"], 4),
+            "recall_at_10_iterative_2hop": round(rec_it, 4),
+        }
+        del eng
+    try:
+        idx_nt = build_packed_index(corpus)
+        eng = make_engine(idx_nt, B)
+        q = evaluate_retrieval(eng, samples, k=TOP_K, batch_size=B)
+        rec_it, _ = iterative_eval(eng, samples, B, trials=0)
+        out["no_titles"] = {
+            "recall_at_10": round(q[f"recall_at_{TOP_K}"], 4),
+            "mrr": round(q["mrr"], 4),
+            "recall_at_10_iterative_2hop": round(rec_it, 4),
+        }
+        del eng
+    except Exception as e:  # pragma: no cover
+        out["no_titles"] = {"error": repr(e)[:160]}
+    return out
+
+
 def train_step_mfu() -> dict:
-    """Encoder train step: analytic FLOPs vs measured step time."""
+    """Encoder train step: analytic FLOPs vs measured step time.
+
+    Sweeps the two levers VERDICT r3 item 9 called for: batch size and
+    attention matmul dtype (f32 legacy vs bf16-on-the-MXU with f32
+    accumulation). Reports the best point as the headline mfu_train_pct
+    plus the full sweep so the knee is auditable.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -935,40 +995,60 @@ def train_step_mfu() -> dict:
         make_train_step,
     )
 
-    # probe at an MXU-friendly shape (the flagship retrieval encoder is
-    # intentionally small; MFU is only meaningful when the matmuls are
-    # large enough to tile the systolic array)
-    cfg = EncoderConfig(vocab_size=16384, max_len=128, d_model=512,
-                        n_heads=8, n_layers=8, d_ff=2048)
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    init_state, step = make_train_step(cfg)
-    opt_state = init_state(params)
-    jstep = jax.jit(step)
-    B = 256
-    qs = [f"question about topic {i} entity {i*7%97}" for i in range(B)]
-    ps = [f"passage describing topic {i} with entity {i*7%97}" for i in range(B)]
-    batch = {k: jnp.asarray(v) for k, v in
-             TextEncoder.make_pair_batch(qs, ps, cfg).items()}
-    out = jstep(params, opt_state, batch)
-    float(out[2]["loss"])  # under the remote tunnel, block_until_ready
-    # does not actually wait for execution — only a host transfer does;
-    # fetch the loss scalar to time the real step (costs one ~25ms RTT)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        out = jstep(out[0], out[1], batch)
-        float(out[2]["loss"])
-        best = min(best, time.time() - t0)
-    # fwd matmul flops/token ~= 12*L*d^2 (attn qkvo 8d^2 + mlp 2*d*ff); x3 for bwd
-    tokens = 2 * B * cfg.max_len
-    flops_tok = 12 * cfg.n_layers * cfg.d_model ** 2 \
-        + 4 * cfg.n_layers * cfg.d_model * cfg.max_len
-    flops = 3.0 * tokens * flops_tok
-    return {
-        "train_step_ms": round(best * 1e3, 2),
-        "train_tflops": round(flops / best / 1e12, 3),
-        "mfu_train_pct": round(100.0 * flops / best / PEAK_FLOPS_BF16, 3),
-    }
+    def probe(B: int, attn_dtype) -> dict:
+        # probe at an MXU-friendly shape (the flagship retrieval encoder
+        # is intentionally small; MFU is only meaningful when the matmuls
+        # are large enough to tile the systolic array)
+        cfg = EncoderConfig(vocab_size=16384, max_len=128, d_model=512,
+                            n_heads=8, n_layers=8, d_ff=2048,
+                            attn_dtype=attn_dtype)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        init_state, step = make_train_step(cfg)
+        opt_state = init_state(params)
+        jstep = jax.jit(step)
+        qs = [f"question about topic {i} entity {i*7%97}" for i in range(B)]
+        ps = [f"passage describing topic {i} with entity {i*7%97}"
+              for i in range(B)]
+        batch = {k: jnp.asarray(v) for k, v in
+                 TextEncoder.make_pair_batch(qs, ps, cfg).items()}
+        out = jstep(params, opt_state, batch)
+        float(out[2]["loss"])  # under the remote tunnel, block_until_ready
+        # does not actually wait for execution — only a host transfer
+        # does; fetch the loss scalar to time the real step (~25ms RTT)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = jstep(out[0], out[1], batch)
+            float(out[2]["loss"])
+            best = min(best, time.time() - t0)
+        # fwd matmul flops/token ~= 12*L*d^2 (attn qkvo 8d^2 + mlp
+        # 2*d*ff) + attention scores/values 4*d*len; x3 for bwd
+        tokens = 2 * B * cfg.max_len
+        flops_tok = 12 * cfg.n_layers * cfg.d_model ** 2 \
+            + 4 * cfg.n_layers * cfg.d_model * cfg.max_len
+        flops = 3.0 * tokens * flops_tok
+        return {
+            "train_step_ms": round(best * 1e3, 2),
+            "train_tflops": round(flops / best / 1e12, 3),
+            "mfu_train_pct": round(100.0 * flops / best / PEAK_FLOPS_BF16,
+                                   3),
+        }
+
+    sweep = {}
+    for label, B, ad in (("b256_f32attn", 256, None),
+                         ("b256_bf16attn", 256, jnp.bfloat16),
+                         ("b1024_bf16attn", 1024, jnp.bfloat16)):
+        try:
+            sweep[label] = probe(B, ad)
+        except Exception as e:  # pragma: no cover
+            sweep[label] = {"error": repr(e)[:160]}
+    best_label = max(
+        (k for k, v in sweep.items() if "mfu_train_pct" in v),
+        key=lambda k: sweep[k]["mfu_train_pct"], default=None)
+    out = dict(sweep.get(best_label) or {})
+    out["train_sweep"] = sweep
+    out["train_best_config"] = best_label
+    return out
 
 
 def main() -> None:
@@ -1093,6 +1173,12 @@ def main() -> None:
         extras["channels"] = channels_block(engine, samples, quality, sp)
     except Exception as e:
         extras["channels"] = {"error": repr(e)[:200]}
+    try:
+        nat = natural_block()
+        if nat:
+            extras["natural"] = nat
+    except Exception as e:
+        extras["natural"] = {"error": repr(e)[:200]}
 
     # ---- ~100k-passage scale row (colliding-distractor corpus) ----
     try:
@@ -1266,6 +1352,8 @@ def _condense_extras(extras: dict) -> dict:
                           "hybrid_recall_at_10", "hybrid_mrr",
                           "bm25_baseline_recall_at_10", "bm25_baseline_mrr",
                           "variety_in_domain", "error") if k in sp}
+    if isinstance(extras.get("natural"), dict):
+        out["natural"] = extras["natural"]
     ch = extras.get("channels")
     if isinstance(ch, dict):
         slim_keys = ("recall_at_10", "mrr", "dense_2hop_recall_at_10",

@@ -429,6 +429,8 @@ struct BridgeRun {
 
 struct BridgeDoc {
   std::string text;
+  std::string title;  // the doc's own title: anchor fallback for natural
+                      // discourse where later sentences drop their subject
   bool simple = true;
   bool runs_ready = false;
   std::vector<BridgeRun> runs;
@@ -506,9 +508,12 @@ void bridge_add_docs(void* hptr, const char* const* texts,
   for (int i = 0; i < n; ++i) {
     BridgeDoc d;
     d.text = texts[i] ? texts[i] : "";
-    d.simple = simple_text(d.text.c_str());
+    d.title = (titles && titles[i]) ? titles[i] : "";
+    // a non-simple title would make the byte-level anchor test below
+    // diverge from Python's Unicode semantics — punt the row to Python
+    d.simple = simple_text(d.text.c_str()) && simple_text(d.title.c_str());
+    if (!d.title.empty()) h->titles.emplace(d.title);
     h->docs.push_back(std::move(d));
-    if (titles && titles[i] && titles[i][0]) h->titles.emplace(titles[i]);
   }
 }
 
@@ -604,9 +609,19 @@ void bridge_hop2_batch(void* hptr, const char* const* queries, int B,
       // runs were pre-materialized above; this loop is read-only
       int my_rank = rank++;
       if (!q_ents.empty()) {
+        // anchored = the sentence names a question entity, or its own
+        // document title overlaps one (bridge_entities' hit_titles
+        // clause: natural discourse drops the subject after sentence 1)
         bool mentioned = false;
         for (auto& qe : q_ents)
           if (d.text.find(qe) != std::string::npos) { mentioned = true; break; }
+        if (!mentioned && !d.title.empty()) {
+          for (auto& qe : q_ents)
+            if (d.title.find(qe) != std::string::npos ||
+                qe.find(d.title) != std::string::npos) {
+              mentioned = true; break;
+            }
+        }
         if (!mentioned) continue;
       }
       for (auto& r : d.runs) {

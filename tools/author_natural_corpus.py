@@ -1,0 +1,88 @@
+"""Assemble the hand-authored natural corpus into the real HotpotQA schema.
+
+Takes the chains in tools/natural_corpus_data.py (hand-written sentences
+about real-world entities — see that module's docstring) and emits
+`data/natural/natural_hotpotqa.json`, one sample per (chain, question
+phrasing) in exactly the reference loader's schema
+(/root/reference/my_code/ingest_hotpotqa.py:46-87): _id, question, answer,
+type, level, supporting_facts [[title, sid], ...], context [[title,
+[sentences]], ...]. Each sample's context carries the two gold documents
+plus `n_distractors` documents sampled (seeded, deterministic) from the
+OTHER chains — the standard HotpotQA distractor setting.
+
+The output is committed to git: it is authored content, not a generated
+artifact.
+
+  python tools/author_natural_corpus.py [--n_distractors 8] [--seed 0]
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
+
+from natural_corpus_data import CHAINS  # noqa: E402
+
+
+def build_samples(n_distractors: int = 8, seed: int = 0):
+    # global doc pool: title -> sentences (chains may share a person doc;
+    # identical-by-construction, so last-write-wins is a no-op)
+    pool = {}
+    for c in CHAINS:
+        pool[c["work"]] = list(c["work_sents"])
+        pool[c["person"]] = list(c["person_sents"])
+    titles = sorted(pool)
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for ci, c in enumerate(CHAINS):
+        gold_titles = {c["work"], c["person"]}
+        others = [t for t in titles if t not in gold_titles]
+        for qi, q in enumerate(c["questions"]):
+            take = rng.permutation(len(others))[:n_distractors]
+            ctx_titles = [c["work"], c["person"]] + [others[j] for j in take]
+            order = rng.permutation(len(ctx_titles))
+            context = [[ctx_titles[j], list(pool[ctx_titles[j]])]
+                       for j in order]
+            sid = hashlib.sha1(f"{ci}:{qi}:{q}".encode()).hexdigest()[:24]
+            samples.append({
+                "_id": sid,
+                "question": q,
+                "answer": c["answer"],
+                "type": "bridge",
+                "level": "medium",
+                "supporting_facts": [[c["work"], c["link_sid"]],
+                                     [c["person"], c["answer_sid"]]],
+                "context": context,
+            })
+    return samples
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_distractors", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=str(REPO / "data" / "natural"
+                                         / "natural_hotpotqa.json"))
+    args = ap.parse_args()
+    samples = build_samples(args.n_distractors, args.seed)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(samples, ensure_ascii=False, indent=1))
+    n_docs = len({t for s in samples for t, _ in s["context"]})
+    n_sents = len({(t, i) for s in samples for t, ss in s["context"]
+                   for i in range(len(ss))})
+    print(json.dumps({"samples": len(samples), "chains": len(CHAINS),
+                      "unique_docs": n_docs, "unique_sentences": n_sents,
+                      "out": str(out)}))
+
+
+if __name__ == "__main__":
+    main()

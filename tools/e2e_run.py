@@ -25,7 +25,7 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 
-def build_corpus_settings(samples, work: Path):
+def build_corpus_settings(samples, work: Path, *, index_titles=False):
     """Ingest a sample corpus under ``work`` and write a settings.yaml that
     repoints the SHIPPED config at it (shared by e2e_run.py and
     e2e_failure_anatomy.py so both always measure the same configuration).
@@ -35,11 +35,14 @@ def build_corpus_settings(samples, work: Path):
     from a_modular_rag_framework_tpu.cli.ingest_hotpotqa import ingest
 
     docs_out = work / "docs.jsonl"
-    ingest(samples, graph_root=work / "graph", docs_out=docs_out)
+    ingest(samples, graph_root=work / "graph", docs_out=docs_out,
+           index_titles=index_titles)
     settings = yaml.safe_load((ROOT / "config" / "settings.yaml").read_text())
     rk = settings["modules"]["retrieval"].setdefault("impl_kwargs", {})
     rk["index_path"] = str(docs_out)
     rk["graph_root"] = str(work / "graph")
+    if index_titles:
+        rk["index_titles"] = True
     s_path = work / "settings.yaml"
     s_path.write_text(yaml.safe_dump(settings))
     return s_path, settings
@@ -48,7 +51,7 @@ def build_corpus_settings(samples, work: Path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="plain",
-                    choices=["plain", "variety", "heldout"])
+                    choices=["plain", "variety", "heldout", "natural"])
     ap.add_argument("--samples", type=int, default=300)
     ap.add_argument("--questions", type=int, default=100)
     ap.add_argument("--seed", type=int, default=17)
@@ -66,15 +69,24 @@ def main():
     from a_modular_rag_framework_tpu.eval.metrics import exact_match, f1_score
     from a_modular_rag_framework_tpu.system import answer_question
 
-    ds_cfg = {
-        "type": "synthetic_hotpotqa", "count": args.samples,
-        "seed": args.seed, "unique_entities": True,
-        "variety": args.corpus == "variety",
-        "heldout": args.corpus == "heldout",
-    }
-    samples = SyntheticHotpotQALoader(ds_cfg).load()
+    if args.corpus == "natural":
+        # hand-authored real-world corpus in the real HotpotQA schema
+        # (tools/author_natural_corpus.py; VERDICT r3 item 8)
+        nat = ROOT / "data" / "natural" / "natural_hotpotqa.json"
+        samples = json.loads(nat.read_text())[: args.samples]
+        ds_cfg = {"type": "hotpotqa", "path": str(nat),
+                  "count": args.samples}
+    else:
+        ds_cfg = {
+            "type": "synthetic_hotpotqa", "count": args.samples,
+            "seed": args.seed, "unique_entities": True,
+            "variety": args.corpus == "variety",
+            "heldout": args.corpus == "heldout",
+        }
+        samples = SyntheticHotpotQALoader(ds_cfg).load()
     work = Path(tempfile.mkdtemp(prefix="e2e_run_"))
-    s_path, settings = build_corpus_settings(samples, work)
+    s_path, settings = build_corpus_settings(
+        samples, work, index_titles=args.corpus == "natural")
     settings["dataset"] = ds_cfg
     s_path.write_text(yaml.safe_dump(settings))
 
