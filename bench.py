@@ -139,12 +139,18 @@ def make_engine(idx, batch, *, encoder=None, **overrides):
     # 0.4/0.2/0.4 (precision-optimal) — measured best-of-both on every
     # family (recall 0.996/0.992, MRR back to 0.36/0.40/0.49).
     # EngineConfig's default stays single-stage reference parity.
+    # hop2_graph_window=1: hop-2 queries already name the bridge entity,
+    # so the hop-2 program's cross-doc second graph wave is redundant
+    # device work. tools/ab_hop2.py measured (real chip, this corpus):
+    # recall@10 1.0 -> 1.0, iterative q/s 7758.7 -> 8189.7 (+5.6%).
+    # Single-pass rows are untouched (tests/test_multihop.py pins
+    # hop-2-only application; EngineConfig default stays None = parity).
     cfg = dict(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                bm25_posting_cap=1024, batch_buckets=(batch,),
                query_df_ratio_max=0.05, bm25_term_topm=16,
                graph_wave_dtype="bfloat16", dense_impl="matmul",
                alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15,
-               order_alphas=(0.4, 0.2, 0.4))
+               order_alphas=(0.4, 0.2, 0.4), hop2_graph_window=1)
     cfg.update(overrides)
     return TPUQueryEngine(idx, encoder=encoder, config=EngineConfig(**cfg))
 
