@@ -39,10 +39,22 @@ def _content_words(text: str) -> List[str]:
 
 def _parse_citations(prompt: str) -> List[Tuple[int, str]]:
     """Extract [#k] "text" lines from a citations block in the prompt."""
-    out: List[Tuple[int, str]] = []
-    for m in re.finditer(r"\[#(\d+)\][^\"“]*[\"“](.*?)[\"”]?\s*$", prompt, re.M):
+    return [(k, t) for k, _, t in _parse_citations_doc(prompt)]
+
+
+def _parse_citations_doc(prompt: str) -> List[Tuple[int, str, str]]:
+    """Extract (k, doc_title, text) from '[#k] (doc=..., sent_id=...) "text"'
+    citation lines. The doc title is the coreference anchor natural prose
+    depends on: hop-2 sentences name their subject with a pronoun ("He was
+    born in Cincinnati"), and the entity lives in the document title —
+    exactly the HotpotQA convention the reference's ingest preserves
+    (/root/reference/my_code/ingest_hotpotqa.py:73-81)."""
+    out: List[Tuple[int, str, str]] = []
+    for m in re.finditer(
+            r"\[#(\d+)\]\s*(?:\(doc=(.*?),\s*sent_id=[^)]*\))?"
+            r"[^\"“]*[\"“](.*?)[\"”]?\s*$", prompt, re.M):
         try:
-            out.append((int(m.group(1)), m.group(2)))
+            out.append((int(m.group(1)), m.group(2) or "", m.group(3)))
         except ValueError:
             continue
     return out
@@ -55,6 +67,30 @@ def _extract_question(prompt: str) -> str:
 
 _QW = {"Where", "What", "Who", "Which", "When", "Why", "How",
        "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do"}
+
+# determiners skipped at the head of an extracted noun phrase, and the
+# function words / prepositions that terminate it
+_DETS = {"the", "a", "an", "his", "her", "their", "its"}
+_NP_STOP = {"in", "on", "at", "for", "with", "from", "of", "as", "to",
+            "and", "or", "while", "during", "before", "after", "since",
+            "when", "where", "that", "which", "who", "by", "until"}
+
+
+def _canon(w: str) -> str:
+    """Canonicalize the suppletive born/birth pair (the one irregular
+    morphology common QA relations hinge on — 'city of birth' vs 'was
+    born in'); everything else passes through for stem matching."""
+    return "born" if w == "born" or w.startswith("birth") else w
+
+
+def _pred_stem(w: str) -> str:
+    """Suffix-stripped stem for predicate matching: 'played'/'plays' ->
+    'play', 'employer'/'employed' -> 'employ' — while keeping 'film' and
+    'filmmaker' distinct (prefix stems conflate them)."""
+    for suf in ("ing", "ed", "es", "er", "s"):
+        if len(w) > len(suf) + 3 and w.endswith(suf):
+            return w[: -len(suf)]
+    return w
 
 
 class MockProvider:
@@ -133,9 +169,18 @@ class MockProvider:
         and matches the question's predicate words; otherwise answer hop 1.
         """
         q = _extract_question(prompt)
-        cites = _parse_citations(prompt)
+        cites3 = _parse_citations_doc(prompt)
+        cites = [(k, t) for k, _, t in cites3]
         if not cites:
             return "No supporting evidence available."
+        # doc title per citation number: natural prose refers to the doc's
+        # subject by pronoun, so the title stands in for an entity mention
+        doc_of = {k: d for k, d, _ in cites3}
+
+        def _title_names(doc: str, ent: str) -> bool:
+            # "Jaws" names doc "Jaws (film)"; "Steven Spielberg" == itself
+            d, e = (doc or "").lower(), (ent or "").lower()
+            return bool(d) and bool(e) and (e in d or d in e)
 
         q_ents = capitalized_runs(q)
         q_ents = [e for e in q_ents if e not in _QW]
@@ -143,27 +188,37 @@ class MockProvider:
         q_ent_tokens = set(_tokenize(" ".join(q_ents)))
         predicate_words = q_words - q_ent_tokens  # e.g. born, city, works
 
-        def ent_score(text, ents):
-            # full entity phrases are worth more than shared single tokens
+        def ent_score(text, ents, doc=""):
+            # full entity phrases are worth more than shared single tokens;
+            # a doc TITLE naming the entity outranks an inline mention —
+            # the title marks the question's topic document, and anchoring
+            # hop 1 there beats anchoring on a stray inline mention of a
+            # secondary question entity ("London" inside a distractor bio)
             s = sum(3 for e in ents if e and e in text)
+            s += sum(4 for e in ents if _title_names(doc, e))
             s += len(set(_tokenize(" ".join(ents))) & set(_tokenize(text)))
             return s
 
+        def matched(words, text):
+            # prefix-stem match so "collaborator" meets "collaborated";
+            # canonicalization joins the irregular born/birth pair
+            toks = [_canon(t) for t in _tokenize(text)]
+            return {w for w in words
+                    if len(_canon(w)) >= 4
+                    and any(t[:6] == _canon(w)[:6] for t in toks)}
+
         def stem_overlap(words, text):
-            # prefix-stem match so "collaborator" meets "collaborated"
-            toks = _tokenize(text)
-            return sum(
-                1 for w in words
-                if any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
-            )
+            return len(matched(words, text))
 
         # hop-1 candidates: every citation naming a question entity,
         # strongest (full-phrase) matches first — a citation that merely
         # shares a first-name token must not anchor the chain ahead of one
         # naming the full question entity (ties in pair scoring resolve to
         # the first anchor processed)
-        h1s = [(k, t) for k, t in cites if ent_score(t, q_ents) > 0]
-        h1s.sort(key=lambda kt: -ent_score(kt[1], q_ents))
+        h1s = [(k, t) for k, t in cites
+               if ent_score(t, q_ents, doc_of.get(k, "")) > 0]
+        h1s.sort(key=lambda kt: -ent_score(kt[1], q_ents,
+                                           doc_of.get(kt[0], "")))
         if not h1s:
             h1s = [max(cites, key=lambda kt: len(q_words & set(_tokenize(kt[1]))))]
 
@@ -181,22 +236,45 @@ class MockProvider:
                     any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
                     for w in predicate_words if len(w) >= 4)
             for k1, t1 in h1s:
-                if covers_all(t1) and ent_score(t1, q_ents) >= 3:
+                if covers_all(t1) and ent_score(t1, q_ents,
+                                                doc_of.get(k1, "")) >= 3:
                     return f"{self._extract_span(q, t1, q_ents)} [#{k1}]"
 
         best_pair = None  # (score, k2, t2, k1)
-        for k1, t1 in h1s:
+        for rank1, (k1, t1) in enumerate(h1s):
             bridge = [e for e in capitalized_runs(t1)
                       if e not in _QW and e not in q_ents
                       and not any(e in qe or qe in e for qe in q_ents)]
+            # the hop-1 doc's own title is a bridge candidate too: "He
+            # directed Jaws" sits in the doc titled by the bridge person
+            d1 = doc_of.get(k1, "")
+            if d1 and not any(_title_names(d1, qe) for qe in q_ents) \
+                    and d1 not in bridge:
+                bridge.append(d1)
             if not bridge:
                 continue
+            # the hop-2 sentence must cover the RELATION hop 1 leaves open:
+            # predicates hop 1 already states ("directed") select the hop-1
+            # link; the uncovered ones ("born", "city") are what the answer
+            # sentence has to match — weighting them higher keeps bridge-doc
+            # filler that re-states the hop-1 predicate ("directed fifty
+            # films") from outscoring the actual fact sentence
+            cov1 = matched(predicate_words, t1)
+            unc1 = predicate_words - cov1
             for k2, t2 in cites:
                 if k2 == k1:
                     continue
                 # full-phrase bridge match only: surname-collision distractors
-                # share tokens but not the whole entity name
-                s2 = sum(3 for e in bridge if e and e in t2)
+                # share tokens but not the whole entity name. A doc title
+                # naming the bridge counts — hop-2 prose says "He was born
+                # in ..." and leaves the name to the title. The match is a
+                # GATE (binary), not additive: a filler sentence mentioning
+                # the bridge twice ("Steven Spielberg ... American ...")
+                # must not outscore the fact sentence — predicate overlap
+                # below is what selects among connected candidates.
+                s2 = 3.0 if any(
+                    e and (e in t2 or _title_names(doc_of.get(k2, ""), e))
+                    for e in bridge) else 0.0
                 if s2 <= 0:
                     continue
                 # answer-slot preference: a hop-2 sentence holding a
@@ -209,9 +287,13 @@ class MockProvider:
                 has_slot = any(
                     not any(r in e or e in r for e in known2)
                     for r in capitalized_runs(t2))
-                s = (s2 + stem_overlap(predicate_words, t2)
-                     + 0.5 * stem_overlap(predicate_words, t1)
-                     + (0.5 if has_slot else 0.0))
+                s = (s2 + 2.0 * stem_overlap(unc1, t2)
+                     + 0.5 * stem_overlap(cov1, t2)
+                     + 0.5 * len(cov1)
+                     + (0.5 if has_slot else 0.0)
+                     # ties between equally-scored chains resolve to the
+                     # stronger hop-1 anchor (h1s is ent_score-sorted)
+                     + 0.01 * (len(h1s) - rank1) / max(1, len(h1s)))
                 if best_pair is None or s > best_pair[0]:
                     best_pair = (s, k2, t2, k1)
 
@@ -219,9 +301,13 @@ class MockProvider:
             _, k2, t2, k1 = best_pair
             exclude = q_ents + capitalized_runs(
                 next(t for kk, t in cites if kk == k1))
+            # the hop docs' titles (question entity / bridge person) are
+            # chain links, never the answer span
+            exclude += [d for d in (doc_of.get(k1), doc_of.get(k2)) if d]
             return f"{self._extract_span(q, t2, exclude)} [#{k2}] [#{k1}]"
 
-        k1, t1 = max(h1s, key=lambda kt: (ent_score(kt[1], q_ents),
+        k1, t1 = max(h1s, key=lambda kt: (ent_score(kt[1], q_ents,
+                                                    doc_of.get(kt[0], "")),
                                           len(q_words & set(_tokenize(kt[1])))))
         return f"{self._extract_span(q, t1, q_ents)} [#{k1}]"
 
@@ -231,28 +317,80 @@ class MockProvider:
 
         Where/which-place questions keep the targeted born-in pattern (it
         handles \"Stone Town, Zanzibar\" style appositions). Everything
-        else falls back to one generic extractive rule — the LAST
-        capitalized run of the evidence sentence that is not a question or
-        hop-1 entity — the stand-in for a competent extractive answerer,
-        deliberately NOT specialized per template family (the held-out
-        families certify the evidence SELECTION, so the answerer must not
-        be tuned to them). Whole sentence if nothing qualifies.
+        else uses one generic extractive rule — the candidate span nearest
+        AFTER a question-predicate word in the evidence sentence (capitalized
+        runs first; a short lowercase noun phrase right after the predicate
+        when no capitalized run qualifies, for answers like "cello") — the
+        stand-in for a competent extractive answerer, deliberately NOT
+        specialized per template family (the held-out families certify the
+        evidence SELECTION, so the answerer must not be tuned to them).
+        Whole sentence if nothing qualifies.
         """
         ql = question.lower()
         if any(w in ql for w in ("where", "which city", "what city",
-                                 "which town", "what place")):
+                                 "which town", "what place", "birthplace",
+                                 "city of birth")):
+            if "city" in ql:
+                # "born in the Shinagawa ward of Tokyo" — the CITY is the
+                # object of the of-phrase, the ward is a sub-division
+                m = re.search(
+                    r"(?:ward|district|borough|suburb|quarter|"
+                    r"neighbou?rhood) of ((?:[A-Z][\w']*)(?: [A-Z][\w']*)*)",
+                    sentence)
+                if m:
+                    return m.group(1)
             m = re.search(
-                r"born(?: and raised)? in (?:the city of )?"
+                r"born(?: and raised)? in (?:the (?:city of )?)?"
                 r"((?:[A-Z][\w']*)(?: [A-Z][\w']*)*)", sentence)
             if m:
                 return m.group(1)
+
+        excl_toks = set(_tokenize(" ".join(e for e in exclude if e)))
+        preds = {_pred_stem(_canon(w)) for w in _content_words(question)
+                 if w not in excl_toks and len(w) >= 4}
+        word_ms = list(re.finditer(r"[A-Za-z0-9][\w']*", sentence))
+        pred_ends = [m.end() for m in word_ms
+                     if _pred_stem(_canon(m.group(0).lower())) in preds]
+
         candidates = [
             r for r in capitalized_runs(sentence)
             if r not in _QW
             and not any(r in e or e in r for e in exclude if e)
         ]
+        if candidates and pred_ends:
+            # nearest run AFTER a predicate mention beats one before it
+            # ("born in Cincinnati, Ohio, on December 18" -> Cincinnati,
+            # not December); runs strictly before every predicate rank by
+            # closeness to the predicate
+            def dist(r: str) -> float:
+                pos = sentence.find(r)
+                after = [pos - pe for pe in pred_ends if pos >= pe]
+                if after:
+                    return min(after)
+                return 10_000 + min(abs(pe - pos) for pe in pred_ends)
+            return min(candidates, key=dist)
         if candidates:
             return candidates[-1]
+        if pred_ends:
+            # lowercase answers ("the cello", "bass guitar"): the noun
+            # phrase right after the predicate, determiners dropped,
+            # stopped at a function word or punctuation
+            tail = sentence[pred_ends[0]:]
+            out: List[str] = []
+            for m in re.finditer(r"[A-Za-z0-9][\w']*|[,.;:!?]", tail):
+                w = m.group(0)
+                if w in ",.;:!?":
+                    break
+                lw = w.lower()
+                if not out and lw in _DETS:
+                    continue
+                if lw in _NP_STOP:
+                    break
+                out.append(w)
+                if len(out) >= 3:
+                    break
+            if out:
+                return " ".join(out)
         return sentence
 
     def _factcheck(self, prompt: str) -> str:

@@ -211,6 +211,16 @@ def select_evidence_for_steps(
     log_lens = 1.0 + np.log(1.0 + text_lens)
 
     metas = [_hit_meta(h) for h in H]
+    # doc-title coreference: natural prose names its subject by pronoun
+    # ("He was born in Cincinnati") and leaves the entity in the document
+    # title — the HotpotQA convention (title identifies the doc's subject,
+    # /root/reference/my_code/ingest_hotpotqa.py:73-81). A sentence
+    # inherits its title's entity tokens for anchoring / carry matching;
+    # lexical overlap scoring stays text-only so titles don't inflate
+    # relevance.
+    titles = [str(m.get("doc") or m.get("title") or "") for m in metas]
+    title_tokens = [set(_stems(tokenize(t))) - _ANCHOR_STOP for t in titles]
+    full_tokens = [tt | dt for tt, dt in zip(text_tokens, title_tokens)]
     st = np.array([float(m.get("score_text_norm") or 0.0) for m in metas], np.float32)
     sd = np.array([float(m.get("score_dense_norm") or 0.0) for m in metas], np.float32)
     sg = np.array([float(m.get("score_graph_norm") or 0.0) for m in metas], np.float32)
@@ -256,7 +266,10 @@ def select_evidence_for_steps(
     carry_sources: Dict[str, set] = {}  # carry token -> hit idxs that added it
     carry_phrases: set = set()  # full bridge-entity strings (lowercased)
     q_phrases = {p.lower() for p in (entity_phrases or []) if " " in p}
-    texts_lower = [t.lower() for t in texts]
+    # phrase containment checks (twin-penalty exemption) see text + title:
+    # a sentence in the doc titled by the full phrase is NOT a twin
+    texts_lower = [f"{t.lower()} ‖ {d.lower()}"
+                   for t, d in zip(texts, titles)]
     steps_lower = " \n ".join(str(s) for s in steps).lower()
     # predicate tokens discriminate WITHIN a document: every sentence of
     # the question entity's doc matches the entity tokens, so the relation
@@ -287,7 +300,7 @@ def select_evidence_for_steps(
         pen_counts = np.array(
             [0 if any(p in tl for _, p in ptoks)
              else sum(1 for pt, p in ptoks if pt & tt)
-             for tt, tl in zip(text_tokens, texts_lower)],
+             for tt, tl in zip(full_tokens, texts_lower)],
             dtype=np.float32,
         )
         penalized = pen_counts > 0
@@ -315,7 +328,7 @@ def select_evidence_for_steps(
         )
         inter = np.array(
             [len(s_tokens & tt) + len(pred_tokens & tt)
-             + 2 * _carry_overlap(i, tt)
+             + 2 * _carry_overlap(i, full_tokens[i])
              for i, tt in enumerate(text_tokens)],
             dtype=np.float32,
         ) + slot_bonus - 2.0 * pen_counts
@@ -327,7 +340,7 @@ def select_evidence_for_steps(
         # e2e misses had the birth sentence retrieved but never selected)
         anchor = ent_anchor | carry
         if anchor:
-            anchored = np.array([bool(anchor & tt) for tt in text_tokens],
+            anchored = np.array([bool(anchor & tt) for tt in full_tokens],
                                 dtype=bool)
         else:
             anchored = np.ones(n, dtype=bool)
@@ -359,7 +372,13 @@ def select_evidence_for_steps(
                 # its own phrase would enter the carry and erase its
                 # penalty (self-legitimization), poisoning later steps
                 continue
-            for ent, ent_stems_i in text_runs[i]:
+            # the picked hit's doc title is an entity mention too (its
+            # sentences may only ever say "he"/"she"); disambiguators like
+            # "(film)" are title furniture, not entity tokens
+            title_ent = re.sub(r"\s*\(.*?\)", "", titles[i]).strip()
+            title_run = ([(title_ent, set(_stems(tokenize(title_ent)))
+                           - _ANCHOR_STOP)] if title_ent else [])
+            for ent, ent_stems_i in text_runs[i] + title_run:
                 # keep only the NOVEL tokens of each entity: a bridge
                 # person sharing the question entity's first name ("Brisa
                 # Venanan collaborated with Brisa Wynanan") must still
