@@ -66,7 +66,10 @@ def _extract_question(prompt: str) -> str:
 
 
 _QW = {"Where", "What", "Who", "Which", "When", "Why", "How",
-       "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do"}
+       "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do",
+       # pronouns: sentence-initial capitals, never entity mentions
+       "It", "He", "She", "They", "Its", "His", "Her", "Their", "This",
+       "That", "These", "Those", "A", "An"}
 
 # determiners skipped at the head of an extracted noun phrase, and the
 # function words / prepositions that terminate it
@@ -187,6 +190,19 @@ class MockProvider:
         q_words = set(_content_words(q))
         q_ent_tokens = set(_tokenize(" ".join(q_ents)))
         predicate_words = q_words - q_ent_tokens  # e.g. born, city, works
+        # ask-side predicates: words in the interrogative clause (after the
+        # LAST wh-word) name the relation being ASKED ("— what is his city
+        # of birth?" -> city/birth); predicates before it describe the
+        # known chain ("directed", "filmmaker"). A hop-2 sentence covering
+        # an ask predicate outranks one restating a chain predicate.
+        wh = None
+        for wm in re.finditer(r"\b(what|which|who|whose|where|when|how)\b",
+                              q, re.I):
+            wh = wm
+        ask_words = (set(_content_words(q[wh.end():])) & predicate_words
+                     if wh else predicate_words)
+        if not ask_words:
+            ask_words = predicate_words
 
         def ent_score(text, ents, doc=""):
             # full entity phrases are worth more than shared single tokens;
@@ -287,7 +303,8 @@ class MockProvider:
                 has_slot = any(
                     not any(r in e or e in r for e in known2)
                     for r in capitalized_runs(t2))
-                s = (s2 + 2.0 * stem_overlap(unc1, t2)
+                s = (s2 + 2.0 * stem_overlap(unc1 & ask_words, t2)
+                     + 1.0 * stem_overlap(unc1 - ask_words, t2)
                      + 0.5 * stem_overlap(cov1, t2)
                      + 0.5 * len(cov1)
                      + (0.5 if has_slot else 0.0)

@@ -16,6 +16,7 @@ list instead of per-hit python loops.
 from __future__ import annotations
 
 import math
+import os
 import re
 from collections import Counter
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Set, Tuple
@@ -347,15 +348,69 @@ def select_evidence_for_steps(
         eligible = anchored & has_text & (score >= min_score) & (score > 0)
 
         order = np.argsort(-score, kind="stable")
-        picked = [int(i) for i in order if eligible[i]][: max(1, per_step_k)]
+
+        def _greedy_pick(cands: List[int], k: int) -> List[int]:
+            # marginal-gain (MMR / facility-location) selection: relation
+            # tokens already covered by earlier picks stop counting, so the
+            # k-th pick adds NOVEL coverage of the step's relations instead
+            # of restating the strongest one. With empty coverage the
+            # formula equals `score`, so pick 1 is the plain argmax and
+            # single-pick steps are unchanged. (The dominant natural-corpus
+            # miss: picks 1-2 both restate the hop-1 relation "directed"
+            # while the answer sentence covering "born" ranked 3rd by
+            # absolute score.) The reference ships the same idea as
+            # mmr_diversify (/root/reference/app/utils/similarity.py:44-62).
+            sel: List[int] = []
+            while cands and len(sel) < k:
+                covered: set = set()
+                for j in sel:
+                    covered |= full_tokens[j]
+                best, best_s = None, None
+                for i in cands:
+                    if i in sel:
+                        continue
+                    carry_nov = sum(
+                        1 for tok in (carry & full_tokens[i]) - covered
+                        if carry_sources.get(tok, set()) != {i})
+                    inter_i = (len((s_tokens - covered) & text_tokens[i])
+                               + len((pred_tokens - covered) & text_tokens[i])
+                               + 2 * carry_nov
+                               + slot_bonus[i] - 2.0 * pen_counts[i])
+                    lex_i = inter_i / log_lens[i] if has_text[i] else 0.0
+                    sc = (0.6 * lex_i + 0.4 * fused_chan[i]
+                          if has_channels[i] else lex_i)
+                    if best_s is None or sc > best_s + 1e-9:
+                        best, best_s = i, sc
+                if best is None:
+                    break
+                sel.append(best)
+            return sel
+
+        elig_order = [int(i) for i in order if eligible[i]]
+        picked = _greedy_pick(elig_order, max(1, per_step_k))
+
+        if os.environ.get("AMRF_DEBUG_SELECT"):  # pragma: no cover
+            print(f"--- step: {step!r}")
+            print(f"    anchor={sorted(anchor)[:12]} carry={sorted(carry)[:12]}")
+            for i in order[:10]:
+                i = int(i)
+                print(f"    {'*' if i in picked else ' '} "
+                      f"s={score[i]:.3f} inter={inter[i]:.1f} "
+                      f"slot={slot_bonus[i]:.0f} pen={pen_counts[i]:.0f} "
+                      f"anch={bool(anchored[i])} elig={bool(eligible[i])} "
+                      f"| {titles[i][:22]} :: {texts[i][:58]}")
 
         if picked:
             grown = expand_with_neighbors(
                 set(picked), H, window=neighbor_window,
                 max_expand=max(neighbor_max_expand, per_step_k),
             )
-            picked = sorted(grown, key=lambda i: float(score[i]), reverse=True)
-            picked = picked[: max(1, per_step_k)]
+            # neighbors join the same marginal-gain competition (a
+            # higher-scoring neighbor can still displace a pick, as before,
+            # but novelty of coverage is respected in the re-trim too)
+            grown_order = sorted(grown, key=lambda i: float(score[i]),
+                                 reverse=True)
+            picked = _greedy_pick(grown_order, max(1, per_step_k))
 
         if len(picked) < per_step_k:  # coverage floor
             for gi in global_order:

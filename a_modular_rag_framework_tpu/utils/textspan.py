@@ -84,7 +84,13 @@ def _runs_general(text: str, min_words: int, particles: bool) -> List[str]:
         nonlocal run_start, run_end, caps_in_run, pending_particle_ok
         nonlocal prev_initial
         if caps_in_run >= min_words and run_start >= 0:
-            runs.append(text[run_start:run_end])
+            # the English possessive clitic is not part of the name:
+            # "Persona's director" names "Persona" (the reference's ASCII
+            # pattern never captured the clitic either, node_builder.py:80)
+            run = text[run_start:run_end]
+            if run.endswith(("'s", "’s")):
+                run = run[:-2]
+            runs.append(run.rstrip("'’"))
         run_start = run_end = -1
         caps_in_run = 0
         pending_particle_ok = False

@@ -42,14 +42,22 @@ def main():
     from a_modular_rag_framework_tpu.system import answer_question
     from e2e_run import build_corpus_settings
 
-    ds_cfg = {
-        "type": "synthetic_hotpotqa", "count": args.samples,
-        "seed": args.seed, "unique_entities": True,
-        "variety": args.corpus == "variety",
-    }
-    samples = SyntheticHotpotQALoader(ds_cfg).load()
+    if args.corpus == "natural":
+        nat = ROOT / "data" / "natural" / "natural_hotpotqa.json"
+        samples = json.loads(nat.read_text())[: args.samples]
+        ds_cfg = {"type": "hotpotqa", "path": str(nat),
+                  "count": args.samples}
+    else:
+        ds_cfg = {
+            "type": "synthetic_hotpotqa", "count": args.samples,
+            "seed": args.seed, "unique_entities": True,
+            "variety": args.corpus == "variety",
+            "heldout": args.corpus == "heldout",
+        }
+        samples = SyntheticHotpotQALoader(ds_cfg).load()
     work = Path(tempfile.mkdtemp(prefix="e2e_anatomy_"))
-    s_path, settings = build_corpus_settings(samples, work)
+    s_path, settings = build_corpus_settings(
+        samples, work, index_titles=args.corpus == "natural")
     settings["dataset"] = ds_cfg
     s_path.write_text(yaml.safe_dump(settings))
 
@@ -82,9 +90,10 @@ def main():
         else:
             kind = "extraction"
         buckets[kind] += 1
-        if kind not in examples:
-            examples[kind] = {"q": s["question"], "gold": gold,
-                              "pred": pred[:90]}
+        examples.setdefault(kind, [])
+        if len(examples[kind]) < 6:
+            examples[kind].append({"q": s["question"], "gold": gold,
+                                   "pred": pred[:90]})
     print(json.dumps({
         "questions": args.questions,
         "em_hits": n_hit,
