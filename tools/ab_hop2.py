@@ -63,8 +63,11 @@ def main() -> None:
         enc = None
         if is_scale:
             enc, _ = attach_learned(idx, cache)
+        # baseline must explicitly pin hop2_graph_window=None: bench's
+        # make_engine now defaults it to 1, so an empty-override arm would
+        # silently measure h2w1 against itself (advisor r4, medium)
         for variant, overrides in (
-                ("baseline", {}),
+                ("baseline", {"hop2_graph_window": None}),
                 (f"h2w{args.hop2_window}",
                  {"hop2_graph_window": args.hop2_window})):
             if is_scale:
