@@ -26,6 +26,10 @@ _STOP = {
     "it", "its", "of", "on", "or", "she", "that", "the", "their", "they",
     "this", "to", "was", "were", "what", "when", "where", "which", "who",
     "whom", "whose", "why", "with", "how", "in",
+    # prepositions are never content predicates
+    "between", "over", "under", "into", "through", "near", "above",
+    "about", "after", "before", "during", "behind", "beside", "along",
+    "across", "around", "within",
 }
 
 
@@ -69,31 +73,93 @@ _QW = {"Where", "What", "Who", "Which", "When", "Why", "How",
        "In", "The", "Is", "Was", "Were", "Are", "Did", "Does", "Do",
        # pronouns: sentence-initial capitals, never entity mentions
        "It", "He", "She", "They", "Its", "His", "Her", "Their", "This",
-       "That", "These", "Those", "A", "An"}
+       "That", "These", "Those", "A", "An",
+       # sentence-initial prepositions/conjunctions/quantifiers/adverbs,
+       # never entities
+       "On", "At", "For", "Of", "With", "After", "Before", "During",
+       "Near", "From", "Under", "Over", "By", "As", "But", "And",
+       "Much", "Many", "Most", "Some", "Few", "Several", "Both", "All",
+       "No", "Not", "Now", "Then", "There", "Here", "Later", "Early",
+       "Nearly", "Almost", "Around", "About", "Today", "Soon", "Once"}
+
+# quantifiers/adverbs that must not drive answer-TYPE matching
+_TYPE_STOP = {"much", "many", "most", "more", "less", "later", "early",
+              "first", "last", "only", "both", "several", "little",
+              "great", "famous", "young", "name", "such", "own"}
 
 # determiners skipped at the head of an extracted noun phrase, and the
 # function words / prepositions that terminate it
 _DETS = {"the", "a", "an", "his", "her", "their", "its"}
 _NP_STOP = {"in", "on", "at", "for", "with", "from", "of", "as", "to",
             "and", "or", "while", "during", "before", "after", "since",
-            "when", "where", "that", "which", "who", "by", "until"}
+            "when", "where", "that", "which", "who", "by", "until",
+            "between", "over", "under", "into", "through", "near"}
+
+
+# irregular pasts/participles that suffix stripping cannot unify with
+# their question-side base forms ("Which instrument did he PLAY?" /
+# "he PLAYED" works; "where did he TEACH?" / "he TAUGHT" does not)
+_IRREG = {
+    "taught": "teach", "spent": "spend", "held": "hold", "won": "win",
+    "wrote": "write", "written": "write", "ran": "run", "flew": "fly",
+    "began": "begin", "begun": "begin", "built": "build", "made": "make",
+    "sang": "sing", "sung": "sing", "sold": "sell", "bought": "buy",
+    "brought": "bring", "caught": "catch", "led": "lead", "left": "leave",
+    "met": "meet", "sat": "sit", "stood": "stand", "told": "tell",
+    "thought": "think", "drew": "draw", "drawn": "draw", "drove": "drive",
+    "grew": "grow", "knew": "know", "became": "become", "came": "come",
+    "gave": "give", "took": "take", "shot": "shoot", "fought": "fight",
+    "dug": "dig", "paid": "pay",
+}
 
 
 def _canon(w: str) -> str:
-    """Canonicalize the suppletive born/birth pair (the one irregular
+    """Canonicalize the suppletive born/birth pair (the irregular
     morphology common QA relations hinge on — 'city of birth' vs 'was
-    born in'); everything else passes through for stem matching."""
-    return "born" if w == "born" or w.startswith("birth") else w
+    born in') and the common irregular verb pasts; everything else
+    passes through for stem matching."""
+    if w == "born" or w.startswith("birth"):
+        return "born"
+    return _IRREG.get(w, w)
+
+
+def _word_sub(needle: str, hay: str) -> bool:
+    """Whole-word substring: 'Alfred Hitchcock' is inside 'Alfred
+    Hitchcock Presents', but 'The' is NOT inside 'Theatre' (the naive
+    `in` test excluded every Theatre/Their/Athens-style span whenever a
+    sentence-initial 'The' reached an exclusion list)."""
+    if not needle or not hay:
+        return False
+    return re.search(rf"(?<!\w){re.escape(needle)}(?!\w)", hay) is not None
+
+
+def _either_contains(a: str, b: str) -> bool:
+    return _word_sub(a, b) or _word_sub(b, a)
 
 
 def _pred_stem(w: str) -> str:
     """Suffix-stripped stem for predicate matching: 'played'/'plays' ->
     'play', 'employer'/'employed' -> 'employ' — while keeping 'film' and
-    'filmmaker' distinct (prefix stems conflate them)."""
+    'filmmaker' distinct (prefix stems conflate them). A stripped stem
+    ending in 'i' restores the 'y' ('studied' -> 'studi' -> 'study')."""
     for suf in ("ing", "ed", "es", "er", "s"):
         if len(w) > len(suf) + 3 and w.endswith(suf):
-            return w[: -len(suf)]
-    return w
+            w = w[: -len(suf)]
+            break
+    return w[:-1] + "y" if w.endswith("i") else w
+
+
+def _stem_eq(a: str, b: str) -> bool:
+    """Stems match when either is a prefix of the other, compared over
+    the first 7 chars (>= 4 chars each): the suffix stripper is
+    asymmetric ('received' -> 'receiv' but 'receive' -> 'receive';
+    'placed' -> 'plac' but 'place' -> 'place')."""
+    if a == b:
+        return True
+    if len(a) < 4 or len(b) < 4:
+        return False
+    a7, b7 = a[:7], b[:7]
+    return a7.startswith(b7) or b7.startswith(a7)
 
 
 class MockProvider:
@@ -216,12 +282,13 @@ class MockProvider:
             return s
 
         def matched(words, text):
-            # prefix-stem match so "collaborator" meets "collaborated";
-            # canonicalization joins the irregular born/birth pair
-            toks = [_canon(t) for t in _tokenize(text)]
+            # stem match so "collaborator" meets "collaborated" and the
+            # irregular pairs meet (born/birth, taught/teach, won/win)
+            toks = [_pred_stem(_canon(t)) for t in _tokenize(text)]
             return {w for w in words
                     if len(_canon(w)) >= 4
-                    and any(t[:6] == _canon(w)[:6] for t in toks)}
+                    and any(_stem_eq(t, _pred_stem(_canon(w)))
+                            for t in toks)}
 
         def stem_overlap(words, text):
             return len(matched(words, text))
@@ -247,9 +314,9 @@ class MockProvider:
         # they fall through to the pair search.
         if predicate_words:
             def covers_all(text):
-                toks = _tokenize(text)
+                toks = [_pred_stem(_canon(t)) for t in _tokenize(text)]
                 return all(
-                    any(t[:6] == w[:6] and len(w) >= 4 for t in toks)
+                    any(_stem_eq(t, _pred_stem(_canon(w))) for t in toks)
                     for w in predicate_words if len(w) >= 4)
             for k1, t1 in h1s:
                 if covers_all(t1) and ent_score(t1, q_ents,
@@ -316,8 +383,16 @@ class MockProvider:
 
         if best_pair is not None:
             _, k2, t2, k1 = best_pair
-            exclude = q_ents + capitalized_runs(
-                next(t for kk, t in cites if kk == k1))
+            # hop-1 text runs join the exclusion only when multi-word:
+            # single-word runs there are mostly proper adjectives
+            # ("Danish architect", "American era") whose word-level
+            # containment would veto legitimate answers ("Royal Danish
+            # Academy"); true chain entities are covered by the doc
+            # titles and question entities, which stay fully excluded
+            exclude = q_ents + [
+                r for r in capitalized_runs(
+                    next(t for kk, t in cites if kk == k1))
+                if " " in r]
             # the hop docs' titles (question entity / bridge person) are
             # chain links, never the answer span
             exclude += [d for d in (doc_of.get(k1), doc_of.get(k2)) if d]
@@ -344,9 +419,11 @@ class MockProvider:
         Whole sentence if nothing qualifies.
         """
         ql = question.lower()
-        if any(w in ql for w in ("where", "which city", "what city",
-                                 "which town", "what place", "birthplace",
-                                 "city of birth")):
+        # any place-flavoured question may ride the birth-clause grammar;
+        # the branch only fires when the SENTENCE has a born-clause, so a
+        # broad trigger costs nothing on non-birth sentences
+        if any(w in ql for w in ("where", "city", "town", "village",
+                                 "place", "birth", "born")):
             if "city" in ql:
                 # "born in the Shinagawa ward of Tokyo" — the CITY is the
                 # object of the of-phrase, the ward is a sub-division
@@ -356,30 +433,60 @@ class MockProvider:
                     sentence)
                 if m:
                     return m.group(1)
+            # one grammar for the natural shapes of a birth-place clause:
+            #   born [Birth Name] [in 1828] (in|at) [the]
+            #     [<Cap>* (city|village|ward|...) of] PLACE [farm near TRUE]
+            # "born Robert Zimmerman in Duluth" skips the birth name,
+            # "born in the Hampshire village of Steventon" takes the
+            # of-object, "born at Lochfield farm near Darvel" prefers the
+            # settlement over the farmstead, and hyphenated places
+            # (Saint-Germain-en-Laye) survive the token class.
+            cap = r"(?:[A-Z][\w'\-]*)(?: [A-Z][\w'\-]*)*"
             m = re.search(
-                r"born(?: and raised)? in (?:the (?:city of )?)?"
-                r"((?:[A-Z][\w']*)(?: [A-Z][\w']*)*)", sentence)
+                rf"[Bb]orn(?: and raised)?(?: {cap})?(?: in \d{{4}},?)? "
+                rf"(?:in|at) (?:the )?"
+                rf"(?:(?:[A-Z][\w'\-]* )*"
+                rf"(?:city|village|town|ward|district|borough|suburb|"
+                rf"parish|quarter) of )?({cap})", sentence)
             if m:
-                return m.group(1)
+                place = m.group(1)
+                m2 = re.match(
+                    rf"\s*(?:farm|farmhouse|manor|estate),? near ({cap})",
+                    sentence[m.end():])
+                return m2.group(1) if m2 else place
 
         excl_toks = set(_tokenize(" ".join(e for e in exclude if e)))
         preds = {_pred_stem(_canon(w)) for w in _content_words(question)
                  if w not in excl_toks and len(w) >= 4}
         word_ms = list(re.finditer(r"[A-Za-z0-9][\w']*", sentence))
         pred_ends = [m.end() for m in word_ms
-                     if _pred_stem(_canon(m.group(0).lower())) in preds]
+                     if any(_stem_eq(_pred_stem(_canon(m.group(0).lower())),
+                                     p) for p in preds)]
 
         candidates = [
             r for r in capitalized_runs(sentence)
             if r not in _QW
-            and not any(r in e or e in r for e in exclude if e)
+            and not any(_either_contains(r, e)
+                        for e in exclude if e and e not in _QW)
         ]
         if candidates and pred_ends:
-            # nearest run AFTER a predicate mention beats one before it
-            # ("born in Cincinnati, Ohio, on December 18" -> Cincinnati,
-            # not December); runs strictly before every predicate rank by
-            # closeness to the predicate
+            # a run CONTAINING a question type-word is the answer-typed
+            # entity itself ("which prize" -> "Nobel Prize", "which
+            # college" -> "Christ's College", "which company" -> "Edison
+            # Machine Works"): without this, the run's own pred token
+            # counts as a predicate BEFORE the next run and hands the
+            # answer to whatever follows ("...Nobel Prize in Chemistry"
+            # -> Chemistry). Otherwise: nearest run AFTER a predicate
+            # mention beats one before it ("born in Cincinnati, Ohio, on
+            # December 18" -> Cincinnati, not December); runs strictly
+            # before every predicate rank by closeness to the predicate.
             def dist(r: str) -> float:
+                # quantifiers/adverbs are never answer TYPES ("shoot much
+                # of his later work" must not type-match a run "Much")
+                if any(_stem_eq(_pred_stem(_canon(t)), p)
+                       for t in _tokenize(r) if t not in _TYPE_STOP
+                       for p in preds):
+                    return -1.0
                 pos = sentence.find(r)
                 after = [pos - pe for pe in pred_ends if pos >= pe]
                 if after:
@@ -390,24 +497,29 @@ class MockProvider:
             return candidates[-1]
         if pred_ends:
             # lowercase answers ("the cello", "bass guitar"): the noun
-            # phrase right after the predicate, determiners dropped,
-            # stopped at a function word or punctuation
-            tail = sentence[pred_ends[0]:]
-            out: List[str] = []
-            for m in re.finditer(r"[A-Za-z0-9][\w']*|[,.;:!?]", tail):
-                w = m.group(0)
-                if w in ",.;:!?":
-                    break
-                lw = w.lower()
-                if not out and lw in _DETS:
-                    continue
-                if lw in _NP_STOP:
-                    break
-                out.append(w)
-                if len(out) >= 3:
-                    break
-            if out:
-                return " ".join(out)
+            # phrase right after a predicate, determiners dropped,
+            # stopped at a function word or punctuation. The LAST
+            # predicate that yields a phrase wins — English puts the
+            # object right after its verb, and earlier predicate hits
+            # grab subjects instead ("taught GENERATIONS of orphan girls
+            # to play the violin" must answer from "play", not "taught")
+            for pe in reversed(pred_ends):
+                tail = sentence[pe:]
+                out: List[str] = []
+                for m in re.finditer(r"[A-Za-z0-9][\w']*|[,.;:!?]", tail):
+                    w = m.group(0)
+                    if w in ",.;:!?":
+                        break
+                    lw = w.lower()
+                    if not out and lw in _DETS:
+                        continue
+                    if lw in _NP_STOP:
+                        break
+                    out.append(w)
+                    if len(out) >= 3:
+                        break
+                if out:
+                    return " ".join(out)
         return sentence
 
     def _factcheck(self, prompt: str) -> str:

@@ -309,10 +309,16 @@ def select_evidence_for_steps(
         # contributed it: tokens a sentence itself introduced must not
         # boost that same sentence in later steps (self-carry — the
         # "Kestrel Point" tokens carried from doc-1 filler re-selected the
-        # filler forever on zero-predicate-overlap hops)
+        # filler forever on zero-predicate-overlap hops). Capped at 2
+        # tokens — one person name's worth: matching a bridge IS the
+        # signal, matching MORE of the carry is not more bridge. Uncapped,
+        # a short distractor echoing several carried non-person runs
+        # ("Nobel Prize", "Literature" learned from the work doc's own
+        # filler) outscored the long gold birth sentence on the natural
+        # corpus (dominant evidence_selection miss, e2e_failure_anatomy).
         def _carry_overlap(i: int, tt: set) -> int:
-            return sum(1 for tok in carry & tt
-                       if carry_sources.get(tok, set()) != {i})
+            return min(2, sum(1 for tok in carry & tt
+                              if carry_sources.get(tok, set()) != {i}))
 
         # answer-slot bonus: evidence holding a capitalized run that is
         # NOT a question/carried entity contains a candidate answer span
@@ -369,9 +375,9 @@ def select_evidence_for_steps(
                 for i in cands:
                     if i in sel:
                         continue
-                    carry_nov = sum(
+                    carry_nov = min(2, sum(
                         1 for tok in (carry & full_tokens[i]) - covered
-                        if carry_sources.get(tok, set()) != {i})
+                        if carry_sources.get(tok, set()) != {i}))
                     inter_i = (len((s_tokens - covered) & text_tokens[i])
                                + len((pred_tokens - covered) & text_tokens[i])
                                + 2 * carry_nov

@@ -1042,7 +1042,51 @@ def natural_block() -> dict:
         del eng
     except Exception as e:  # pragma: no cover
         out["no_titles"] = {"error": repr(e)[:160]}
+    try:
+        out.update(natural_e2e_block(samples))
+    except Exception as e:  # pragma: no cover
+        out["e2e"] = {"error": repr(e)[:160]}
     return out
+
+
+def natural_e2e_block(samples, n: int = 60,
+                      budget_s: float = 420.0) -> dict:
+    """Full answer_question pipeline over the natural corpus (VERDICT r4
+    item 1: the product-level EM belongs in the official record, not only
+    in docs/E2E_RUN.json). Shipped settings + mock LLMs; budget-bounded —
+    a budget cut is recorded in the row, never silent."""
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from e2e_run import build_corpus_settings  # noqa: E402
+
+    from a_modular_rag_framework_tpu.eval.metrics import exact_match, f1_score
+    from a_modular_rag_framework_tpu.system import answer_question
+
+    rng = np.random.default_rng(7)
+    pick = sorted(rng.permutation(len(samples))[:n].tolist())
+    subset = [samples[i] for i in pick]
+    work = Path(tempfile.mkdtemp(prefix="bench_nat_e2e_"))
+    s_path, _ = build_corpus_settings(samples, work, index_titles=True)
+    t0 = time.time()
+    ems, f1s, n_done = [], [], 0
+    for s in subset:
+        if time.time() - t0 > budget_s:
+            break
+        res = answer_question(s["question"], mode="full",
+                              settings_path=str(s_path))
+        pred = (res.get("reasoning") or {}).get("answer") or ""
+        ems.append(1.0 if exact_match(pred, s["answer"]) else 0.0)
+        f1s.append(f1_score(pred, s["answer"]))
+        n_done += 1
+    row = {"e2e_em": round(float(np.mean(ems)), 4) if ems else None,
+           "e2e_f1": round(float(np.mean(f1s)), 4) if f1s else None,
+           "e2e_n": n_done,
+           "e2e_sec": round(time.time() - t0, 1)}
+    if n_done < len(subset):
+        row["e2e"] = {"error": f"budget cut at {n_done}/{len(subset)} "
+                               f"questions ({budget_s:.0f}s)"}
+    return row
 
 
 def train_step_mfu() -> dict:
@@ -1105,11 +1149,18 @@ def train_step_mfu() -> dict:
     sweep = {}
     for label, B, ad in (("b256_f32attn", 256, None),
                          ("b256_bf16attn", 256, jnp.bfloat16),
-                         ("b1024_bf16attn", 1024, jnp.bfloat16)):
-        try:
-            sweep[label] = probe(B, ad)
-        except Exception as e:  # pragma: no cover
-            sweep[label] = {"error": repr(e)[:160]}
+                         ("b1024_bf16attn", 1024, jnp.bfloat16),
+                         ("b2048_bf16attn", 2048, jnp.bfloat16)):
+        # round 4's b1024 point died on a transient remote-compile HTTP
+        # 500 and was recorded as its error (VERDICT r4 weak #7) — retry
+        # transient failures before recording one
+        for attempt in range(3):
+            try:
+                sweep[label] = probe(B, ad)
+                break
+            except Exception as e:  # pragma: no cover
+                sweep[label] = {"error": repr(e)[:160], "attempts": attempt + 1}
+                time.sleep(2.0 * (attempt + 1))
     best_label = max(
         (k for k, v in sweep.items() if "mfu_train_pct" in v),
         key=lambda k: sweep[k]["mfu_train_pct"], default=None)
