@@ -85,7 +85,8 @@ _QW = {"Where", "What", "Who", "Which", "When", "Why", "How",
 # quantifiers/adverbs that must not drive answer-TYPE matching
 _TYPE_STOP = {"much", "many", "most", "more", "less", "later", "early",
               "first", "last", "only", "both", "several", "little",
-              "great", "famous", "young", "name", "such", "own"}
+              "great", "famous", "young", "name", "such", "own", "late",
+              "life", "years", "career"}
 
 # determiners skipped at the head of an extracted noun phrase, and the
 # function words / prepositions that terminate it

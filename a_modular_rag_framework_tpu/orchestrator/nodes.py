@@ -221,9 +221,15 @@ def make_node_claim_retrieval(ctx: NodeContext) -> Callable[[WFState], WFState]:
             empty["source"] = "claim-retrieval"
             return _merge(state, {"retrieval": empty})
 
+        # the question stays in the query: claims extracted from a WRONG
+        # answer would otherwise steer the re-retrieval to the wrong
+        # answer's neighborhood, making recovery impossible — the point
+        # of the retry is to re-ground the question, with the claims as
+        # additional probes
+        question = state.get("question", "")
         with span("ClaimRetrieval", ctx.sink, trace_id):
             out = ctx.retriever.retrieve(RetrievalIn(
-                query="; ".join(claims),
+                query="; ".join(([question] if question else []) + claims),
                 graph_id=(state.get("graph") or {}).get("graph_id", ""),
                 top_k=20,
                 trace_id=f"{trace_id}-claim",

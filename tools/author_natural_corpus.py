@@ -30,38 +30,81 @@ sys.path.insert(0, str(REPO / "tools"))
 
 from natural_corpus_data import CHAINS  # noqa: E402
 
+try:
+    from natural_corpus_data2 import DISTRACTOR_DOCS  # noqa: E402
+    from natural_corpus_data2 import EXTENSIONS, NEW_CHAINS
+except ImportError:  # pre-extension checkouts
+    EXTENSIONS, NEW_CHAINS, DISTRACTOR_DOCS = {}, [], {}
+
+
+def _person_sents(person: str, base) -> list:
+    ext = EXTENSIONS.get(person, {})
+    return list(base) + list(ext.get("extra_sents", []))
+
+
+def _chain_for_question(person_chains, question: str):
+    """A person can anchor several works (Hitchcock: Psycho AND Rear
+    Window); an extension question attaches to the chain whose work the
+    question actually names, falling back to the person's first chain."""
+    for c in person_chains:
+        main = c["work"].split(" (")[0]
+        if main and main.lower() in question.lower():
+            return c
+    return person_chains[0]
+
 
 def build_samples(n_distractors: int = 8, seed: int = 0):
     # global doc pool: title -> sentences (chains may share a person doc;
     # identical-by-construction, so last-write-wins is a no-op)
-    pool = {}
-    for c in CHAINS:
+    all_chains = list(CHAINS) + list(NEW_CHAINS)
+    pool = dict(DISTRACTOR_DOCS)
+    by_person = {}
+    for c in all_chains:
         pool[c["work"]] = list(c["work_sents"])
-        pool[c["person"]] = list(c["person_sents"])
+        pool[c["person"]] = _person_sents(c["person"], c["person_sents"])
+        by_person.setdefault(c["person"], []).append(c)
     titles = sorted(pool)
+
+    # (chain, question, answer, answer_sid) rows: base birthplace QA,
+    # per-chain qa lists (new chains), and per-person extension qa
+    rows = []
+    for c in all_chains:
+        if "answer" in c:
+            for q in c["questions"]:
+                rows.append((c, q, c["answer"], c["answer_sid"]))
+        for qa in c.get("qa", []):
+            for q in qa["questions"]:
+                rows.append((c, q, qa["answer"], qa["answer_sid"]))
+    for person, ext in EXTENSIONS.items():
+        chains = by_person.get(person)
+        if not chains:
+            continue
+        for qa in ext.get("qa", []):
+            for q in qa["questions"]:
+                rows.append((_chain_for_question(chains, q), q,
+                             qa["answer"], qa["answer_sid"]))
 
     rng = np.random.default_rng(seed)
     samples = []
-    for ci, c in enumerate(CHAINS):
+    for ri, (c, q, answer, answer_sid) in enumerate(rows):
         gold_titles = {c["work"], c["person"]}
         others = [t for t in titles if t not in gold_titles]
-        for qi, q in enumerate(c["questions"]):
-            take = rng.permutation(len(others))[:n_distractors]
-            ctx_titles = [c["work"], c["person"]] + [others[j] for j in take]
-            order = rng.permutation(len(ctx_titles))
-            context = [[ctx_titles[j], list(pool[ctx_titles[j]])]
-                       for j in order]
-            sid = hashlib.sha1(f"{ci}:{qi}:{q}".encode()).hexdigest()[:24]
-            samples.append({
-                "_id": sid,
-                "question": q,
-                "answer": c["answer"],
-                "type": "bridge",
-                "level": "medium",
-                "supporting_facts": [[c["work"], c["link_sid"]],
-                                     [c["person"], c["answer_sid"]]],
-                "context": context,
-            })
+        take = rng.permutation(len(others))[:n_distractors]
+        ctx_titles = [c["work"], c["person"]] + [others[j] for j in take]
+        order = rng.permutation(len(ctx_titles))
+        context = [[ctx_titles[j], list(pool[ctx_titles[j]])]
+                   for j in order]
+        sid = hashlib.sha1(f"{ri}:{q}".encode()).hexdigest()[:24]
+        samples.append({
+            "_id": sid,
+            "question": q,
+            "answer": answer,
+            "type": "bridge",
+            "level": "medium",
+            "supporting_facts": [[c["work"], c["link_sid"]],
+                                 [c["person"], answer_sid]],
+            "context": context,
+        })
     return samples
 
 

@@ -91,20 +91,37 @@ def main():
     s_path.write_text(yaml.safe_dump(settings))
 
     ems, rems, f1s, verdicts = [], [], [], {}
+    # verifier-vs-EM confusion (VERDICT r4 item 4): does the verdict
+    # actually separate right answers from wrong ones?
+    confusion = {"right_pass": 0, "right_fail": 0,
+                 "wrong_pass": 0, "wrong_fail": 0}
+    retry_rounds = {}
+    retry_recovered = 0
     t0 = time.time()
     for s in samples[: args.questions]:
         res = answer_question(s["question"], mode="full",
                               settings_path=str(s_path))
         pred = (res.get("reasoning") or {}).get("answer") or ""
         gold = s["answer"]
-        ems.append(exact_match(pred, gold))
+        em = exact_match(pred, gold)
+        ems.append(em)
         rems.append(1.0 if gold.lower() in pred.lower() else 0.0)
         f1s.append(f1_score(pred, gold))
-        v = (res.get("verification") or {}).get("verdict") or "?"
+        ver = res.get("verification") or {}
+        v = ver.get("verdict") or "?"
         verdicts[v] = verdicts.get(v, 0) + 1
+        ok = bool(ver.get("ok"))
+        key = ("right" if em else "wrong") + ("_pass" if ok else "_fail")
+        confusion[key] += 1
+        rr = int(res.get("retry_round") or 0)
+        retry_rounds[str(rr)] = retry_rounds.get(str(rr), 0) + 1
+        if rr > 0 and em:
+            retry_recovered += 1
     total = time.time() - t0
 
     n = max(len(ems), 1)
+    wrong = confusion["wrong_pass"] + confusion["wrong_fail"]
+    fails = confusion["wrong_fail"] + confusion["right_fail"]
     row = {
         "n": len(ems),
         "corpus": args.corpus,
@@ -113,6 +130,15 @@ def main():
         "em_relaxed": round(sum(rems) / n, 4),
         "f1": round(sum(f1s) / n, 4),
         "verdicts": verdicts,
+        "verifier_confusion": confusion,
+        # of the WRONG answers, how many did the verifier flag?
+        "verdict_recall_on_wrong": round(
+            confusion["wrong_fail"] / wrong, 4) if wrong else None,
+        # of the FLAGGED answers, how many were actually wrong?
+        "verdict_precision_on_fail": round(
+            confusion["wrong_fail"] / fails, 4) if fails else None,
+        "retry_rounds": retry_rounds,
+        "retry_recovered": retry_recovered,
         "total_sec": round(total, 1),
         "sec_per_question": round(total / n, 2),
     }

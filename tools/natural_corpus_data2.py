@@ -999,6 +999,714 @@ EXTENSIONS = {
     },
 }
 
-NEW_CHAINS = []
+NEW_CHAINS = [
+    {
+        "work": "What a Wonderful World",
+        "work_sents": [
+            "What a Wonderful World is a 1967 ballad celebrating everyday beauty.",
+            "It was recorded by the jazz singer and trumpeter Louis Armstrong late in his career.",
+            "The song topped the British charts and became a standard.",
+        ],
+        "link_sid": 1,
+        "person": "Louis Armstrong",
+        "person_sents": [
+            "Louis Armstrong was born in New Orleans in 1901 and grew up in deep poverty.",
+            "He played the trumpet with a joyful, gravelly phrasing that reshaped jazz.",
+            "Fans knew him by the nickname Satchmo.",
+            "He led his band the All Stars for the last quarter-century of his life.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "New Orleans", "family": "birthplace",
+             "questions": [
+                 "In which city was the performer of What a Wonderful World born?",
+                 "Where was the singer of What a Wonderful World born?",
+                 "What is the birthplace of the trumpeter who recorded What a Wonderful World?",
+             ]},
+            {"answer_sid": 1, "answer": "trumpet", "family": "instrument",
+             "questions": [
+                 "Which instrument did the performer of What a Wonderful World play?",
+                 "The singer of What a Wonderful World played which instrument?",
+                 "What instrument was played by the man who recorded What a Wonderful World?",
+             ]},
+            {"answer_sid": 2, "answer": "Satchmo", "family": "organization",
+             "questions": [
+                 "By which nickname was the performer of What a Wonderful World known?",
+                 "The singer of What a Wonderful World was known by which nickname?",
+                 "What nickname did the man who recorded What a Wonderful World go by?",
+             ]},
+        ],
+    },
+    {
+        "work": "The Two Fridas",
+        "work_sents": [
+            "The Two Fridas is a double self-portrait painted in 1939.",
+            "Frida Kahlo painted it during her divorce, showing two selves with joined hands.",
+            "The exposed hearts of both figures are connected by a single vein.",
+        ],
+        "link_sid": 1,
+        "person": "Frida Kahlo",
+        "person_sents": [
+            "Frida Kahlo was born in Coyoacán, on the edge of Mexico City, in 1907.",
+            "She married the muralist Diego Rivera in 1929.",
+            "She lived most of her life in the Casa Azul, her family home.",
+            "A bus accident at eighteen left her in lifelong pain and turned her to painting.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Coyoacán", "family": "birthplace",
+             "questions": [
+                 "Where was the painter of The Two Fridas born?",
+                 "In which part of Mexico City was the painter of The Two Fridas born?",
+                 "What is the birthplace of the woman who painted The Two Fridas?",
+             ]},
+            {"answer_sid": 1, "answer": "Diego Rivera",
+             "family": "organization",
+             "questions": [
+                 "Which muralist did the painter of The Two Fridas marry?",
+                 "The painter of The Two Fridas married which muralist in 1929?",
+                 "What muralist married the woman who painted The Two Fridas?",
+             ]},
+            {"answer_sid": 2, "answer": "Casa Azul", "family": "location",
+             "questions": [
+                 "In which family home did the painter of The Two Fridas live most of her life?",
+                 "The painter of The Two Fridas lived in which famous blue house?",
+                 "Where did the woman who painted The Two Fridas live most of her life?",
+             ]},
+        ],
+    },
+    {
+        "work": "Principia Mathematica (Newton)",
+        "work_sents": [
+            "The Principia set out the laws of motion and universal gravitation in 1687.",
+            "Isaac Newton wrote it in Latin over eighteen months of intense work.",
+            "The book was seen through the press at the expense of Edmond Halley.",
+        ],
+        "link_sid": 1,
+        "person": "Isaac Newton",
+        "person_sents": [
+            "Isaac Newton was born at Woolsthorpe, a manor farm in Lincolnshire, in 1642.",
+            "Newton studied at Trinity College in Cambridge.",
+            "Late in life he ran the Royal Mint in London.",
+            "He served for decades as president of the Royal Society.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Woolsthorpe", "family": "birthplace",
+             "questions": [
+                 "Where was the author of the Principia born?",
+                 "At which manor farm was the author of the Principia born?",
+                 "What is the birthplace of the man who wrote the Principia?",
+             ]},
+            {"answer_sid": 1, "answer": "Trinity College",
+             "family": "education",
+             "questions": [
+                 "At which college did the author of the Principia study?",
+                 "The author of the Principia studied at which Cambridge college?",
+                 "Which college educated the man who wrote the Principia?",
+             ]},
+            {"answer_sid": 2, "answer": "Royal Mint", "family": "employer",
+             "questions": [
+                 "Which mint did the author of the Principia run late in life?",
+                 "Late in life the author of the Principia ran which institution in London?",
+                 "What mint was run by the man who wrote the Principia?",
+             ]},
+            {"answer_sid": 3, "answer": "Royal Society",
+             "family": "organization",
+             "questions": [
+                 "Of which society was the author of the Principia president?",
+                 "The author of the Principia served as president of which society?",
+                 "Which society had the man who wrote the Principia as its president?",
+             ]},
+        ],
+    },
+    {
+        "work": "Nineteen Eighty-Four",
+        "work_sents": [
+            "Nineteen Eighty-Four imagines a total surveillance state ruled by Big Brother.",
+            "George Orwell finished the novel on the remote island of Jura while gravely ill.",
+            "It was published in 1949, months before its author's death.",
+        ],
+        "link_sid": 1,
+        "person": "George Orwell",
+        "person_sents": [
+            "George Orwell was born Eric Blair in Motihari, in British India, in 1903.",
+            "He wrote a regular column for the magazine Tribune.",
+            "He fought for the republican side in the Spanish Civil War and was shot through the throat.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Motihari", "family": "birthplace",
+             "questions": [
+                 "Where was the author of Nineteen Eighty-Four born?",
+                 "In which Indian town was the author of Nineteen Eighty-Four born?",
+                 "What is the birthplace of the man who wrote Nineteen Eighty-Four?",
+             ]},
+            {"answer_sid": 1, "answer": "Tribune", "family": "employer",
+             "questions": [
+                 "For which magazine did the author of Nineteen Eighty-Four write a regular column?",
+                 "The author of Nineteen Eighty-Four wrote a column for which magazine?",
+                 "Which magazine carried the regular column of the man who wrote Nineteen Eighty-Four?",
+             ]},
+            {"answer_sid": 2, "answer": "Spanish Civil War",
+             "family": "location",
+             "questions": [
+                 "In which war was the author of Nineteen Eighty-Four shot through the throat?",
+                 "The author of Nineteen Eighty-Four fought in which war?",
+                 "Which war wounded the man who wrote Nineteen Eighty-Four?",
+             ]},
+        ],
+    },
+    {
+        "work": "Telephone (invention)",
+        "work_sents": [
+            "The telephone turned speech into electrical signals carried along a wire.",
+            "Alexander Graham Bell was granted the decisive patent in March 1876.",
+            "Within a decade exchanges connected subscribers across whole cities.",
+        ],
+        "link_sid": 1,
+        "person": "Alexander Graham Bell",
+        "person_sents": [
+            "Alexander Graham Bell was born in Edinburgh in 1847 into a family of elocution teachers.",
+            "Bell taught speech at Boston University.",
+            "He helped establish the Bell Telephone Company in 1877.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Edinburgh", "family": "birthplace",
+             "questions": [
+                 "Where was the inventor of the telephone born?",
+                 "In which Scottish city was the inventor of the telephone born?",
+                 "What is the birthplace of the man who invented the telephone?",
+             ]},
+            {"answer_sid": 1, "answer": "Boston University",
+             "family": "employer",
+             "questions": [
+                 "At which university did the inventor of the telephone teach speech?",
+                 "The inventor of the telephone taught speech at which university?",
+                 "Which university employed the man who invented the telephone as a speech teacher?",
+             ]},
+            {"answer_sid": 2, "answer": "Bell Telephone Company",
+             "family": "organization",
+             "questions": [
+                 "Which company did the inventor of the telephone help establish in 1877?",
+                 "The inventor of the telephone helped establish which company?",
+                 "What company was established with the help of the man who invented the telephone?",
+             ]},
+        ],
+    },
+    {
+        "work": "The Magic Flute",
+        "work_sents": [
+            "The Magic Flute is a singspiel opera that premiered in Vienna in 1791.",
+            "Wolfgang Amadeus Mozart composed it in the final year of his life.",
+            "Its Queen of the Night aria is among the most demanding in the repertoire.",
+        ],
+        "link_sid": 1,
+        "person": "Wolfgang Amadeus Mozart",
+        "person_sents": [
+            "Wolfgang Amadeus Mozart was born in Salzburg in 1756.",
+            "He toured the courts of Europe as a child prodigy with his sister.",
+            "He left the archbishop's service and moved to Vienna to work freelance.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Salzburg", "family": "birthplace",
+             "questions": [
+                 "Where was the composer of The Magic Flute born?",
+                 "In which city was the composer of The Magic Flute born?",
+                 "What is the birthplace of the man who composed The Magic Flute?",
+             ]},
+            {"answer_sid": 2, "answer": "Vienna", "family": "location",
+             "questions": [
+                 "To which city did the composer of The Magic Flute move to work freelance?",
+                 "The composer of The Magic Flute moved to which city?",
+                 "Which city did the man who composed The Magic Flute move to after leaving the archbishop's service?",
+             ]},
+        ],
+    },
+    {
+        "work": "Long Walk to Freedom",
+        "work_sents": [
+            "Long Walk to Freedom is an autobiography published in 1994.",
+            "Nelson Mandela began writing it secretly in prison on Robben Island.",
+            "The manuscript was hidden in the prison garden and smuggled out in pieces.",
+        ],
+        "link_sid": 1,
+        "person": "Nelson Mandela",
+        "person_sents": [
+            "Nelson Mandela was born in the village of Mvezo on the Mbashe River in 1918.",
+            "He spent eighteen of his prison years on Robben Island.",
+            "He shared the Nobel Peace Prize in 1993.",
+            "In 1994 he was elected president of South Africa.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Mvezo", "family": "birthplace",
+             "questions": [
+                 "In which village was the author of Long Walk to Freedom born?",
+                 "Where was the author of Long Walk to Freedom born?",
+                 "What is the birthplace of the man who wrote Long Walk to Freedom?",
+             ]},
+            {"answer_sid": 2, "answer": "Nobel Peace Prize",
+             "family": "award",
+             "questions": [
+                 "Which prize did the author of Long Walk to Freedom share in 1993?",
+                 "The author of Long Walk to Freedom shared which prize?",
+                 "What prize was shared by the man who wrote Long Walk to Freedom?",
+             ]},
+            {"answer_sid": 3, "answer": "South Africa",
+             "family": "location",
+             "questions": [
+                 "Of which country was the author of Long Walk to Freedom elected president?",
+                 "The author of Long Walk to Freedom became president of which country?",
+                 "Which country elected the man who wrote Long Walk to Freedom as president?",
+             ]},
+        ],
+    },
+    {
+        "work": "Periodic table of the elements",
+        "work_sents": [
+            "The periodic table arranges the chemical elements by recurring properties.",
+            "Dmitri Mendeleev published the first widely accepted version in 1869.",
+            "Gaps in his table correctly predicted elements not yet discovered.",
+        ],
+        "link_sid": 1,
+        "person": "Dmitri Mendeleev",
+        "person_sents": [
+            "Dmitri Mendeleev was born in Tobolsk, in Siberia, in 1834, the youngest of a large family.",
+            "He taught chemistry at Saint Petersburg University for over twenty years.",
+            "Legend says the arrangement of the elements came to him in a dream.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Tobolsk", "family": "birthplace",
+             "questions": [
+                 "Where was the creator of the periodic table born?",
+                 "In which Siberian town was the creator of the periodic table born?",
+                 "What is the birthplace of the man who created the periodic table?",
+             ]},
+            {"answer_sid": 1, "answer": "Saint Petersburg University",
+             "family": "employer",
+             "questions": [
+                 "At which university did the creator of the periodic table teach chemistry?",
+                 "The creator of the periodic table taught chemistry at which university?",
+                 "Which university employed the man who created the periodic table?",
+             ]},
+        ],
+    },
+    {
+        "work": "Kind of Blue",
+        "work_sents": [
+            "Kind of Blue, recorded in 1959, is the best-selling jazz album ever made.",
+            "The trumpeter Miles Davis assembled a sextet and sketched the modal themes just before the sessions.",
+            "Most tracks were captured in single takes.",
+        ],
+        "link_sid": 1,
+        "person": "Miles Davis",
+        "person_sents": [
+            "Miles Davis was born in Alton, Illinois, in 1926, and grew up in East St. Louis.",
+            "He enrolled at the Juilliard School in New York but left for the clubs.",
+            "Davis played the trumpet with a distinctive muted tone.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Alton", "family": "birthplace",
+             "questions": [
+                 "Where was the trumpeter behind Kind of Blue born?",
+                 "In which Illinois town was the leader of the Kind of Blue sessions born?",
+                 "What is the birthplace of the man who made Kind of Blue?",
+             ]},
+            {"answer_sid": 1, "answer": "Juilliard School",
+             "family": "education",
+             "questions": [
+                 "At which school did the trumpeter behind Kind of Blue enrol in New York?",
+                 "The leader of the Kind of Blue sessions enrolled at which school?",
+                 "Which school admitted the man who made Kind of Blue before he left for the clubs?",
+             ]},
+            {"answer_sid": 2, "answer": "trumpet", "family": "instrument",
+             "questions": [
+                 "Which instrument did the leader of the Kind of Blue sessions play?",
+                 "The man behind Kind of Blue played which instrument?",
+                 "What instrument was played by the leader of the Kind of Blue sessions?",
+             ]},
+        ],
+    },
+    {
+        "work": "The Hobbit",
+        "work_sents": [
+            "The Hobbit follows Bilbo Baggins on an unexpected journey to a dragon's hoard.",
+            "J.R.R. Tolkien wrote it for his children, and it was published in 1937.",
+            "Its success led a publisher to ask for the sequel that became The Lord of the Rings.",
+        ],
+        "link_sid": 1,
+        "person": "J.R.R. Tolkien",
+        "person_sents": [
+            "J.R.R. Tolkien was born in Bloemfontein, in what is now South Africa, in 1892.",
+            "Tolkien taught Anglo-Saxon at Oxford for decades.",
+            "He read drafts aloud to a circle of friends called the Inklings.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Bloemfontein",
+             "family": "birthplace",
+             "questions": [
+                 "Where was the author of The Hobbit born?",
+                 "In which city was the author of The Hobbit born?",
+                 "What is the birthplace of the man who wrote The Hobbit?",
+             ]},
+            {"answer_sid": 1, "answer": "Oxford", "family": "employer",
+             "questions": [
+                 "In which city did the author of The Hobbit teach Anglo-Saxon?",
+                 "The author of The Hobbit taught Anglo-Saxon at which university town?",
+                 "Which university town employed the man who wrote The Hobbit?",
+             ]},
+            {"answer_sid": 2, "answer": "Inklings", "family": "organization",
+             "questions": [
+                 "To which circle of friends did the author of The Hobbit read drafts aloud?",
+                 "The author of The Hobbit read drafts to a circle called what?",
+                 "What was the name of the circle that heard the drafts of the man who wrote The Hobbit?",
+             ]},
+        ],
+    },
+    {
+        "work": "Dynamite",
+        "work_sents": [
+            "Dynamite made nitroglycerine safe enough to handle and transport.",
+            "Alfred Nobel patented the explosive in 1867 after years of dangerous experiments.",
+            "It transformed mining, tunnelling, and construction within a generation.",
+        ],
+        "link_sid": 1,
+        "person": "Alfred Nobel",
+        "person_sents": [
+            "Alfred Nobel was born in Stockholm in 1833.",
+            "He built his first explosives factory at Vinterviken outside Stockholm.",
+            "His will endowed the annual prizes that carry his name.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "Stockholm", "family": "birthplace",
+             "questions": [
+                 "Where was the inventor of dynamite born?",
+                 "In which city was the inventor of dynamite born?",
+                 "What is the birthplace of the man who invented dynamite?",
+             ]},
+            {"answer_sid": 1, "answer": "Vinterviken", "family": "location",
+             "questions": [
+                 "Where did the inventor of dynamite build his first explosives factory?",
+                 "The inventor of dynamite built his first factory at which site?",
+                 "At which site outside Stockholm did the man who invented dynamite build his factory?",
+             ]},
+        ],
+    },
+    {
+        "work": "Gombe chimpanzee study",
+        "work_sents": [
+            "The long-term chimpanzee study at Gombe Stream began in 1960.",
+            "Jane Goodall started it by observing tool use among wild chimpanzees.",
+            "It continues today as one of the longest wildlife studies anywhere.",
+        ],
+        "link_sid": 1,
+        "person": "Jane Goodall",
+        "person_sents": [
+            "Jane Goodall was born in London in 1934 and grew up near the sea in Bournemouth.",
+            "The palaeontologist Louis Leakey sent her to observe chimpanzees in 1960.",
+            "Her institute now runs conservation programmes on several continents.",
+        ],
+        "qa": [
+            {"answer_sid": 0, "answer": "London", "family": "birthplace",
+             "questions": [
+                 "Where was the founder of the Gombe chimpanzee study born?",
+                 "In which city was the founder of the Gombe chimpanzee study born?",
+                 "What is the birthplace of the woman who began the Gombe chimpanzee study?",
+             ]},
+            {"answer_sid": 1, "answer": "Louis Leakey",
+             "family": "organization",
+             "questions": [
+                 "Which palaeontologist sent the founder of the Gombe chimpanzee study to observe chimpanzees?",
+                 "The founder of the Gombe chimpanzee study was sent to Africa by which palaeontologist?",
+                 "What palaeontologist sent the woman behind the Gombe chimpanzee study to the field?",
+             ]},
+        ],
+    },
+]
 
-DISTRACTOR_DOCS = {}
+DISTRACTOR_DOCS = {
+    "Amazon River": [
+        "The Amazon River discharges more water than the next seven largest rivers combined.",
+        "Its basin drains roughly forty percent of South America.",
+        "During the wet season parts of the river exceed fifty kilometres in width.",
+        "No bridge crosses its main stem along the entire length.",
+    ],
+    "Great Barrier Reef": [
+        "The Great Barrier Reef stretches over two thousand kilometres off the coast of Queensland.",
+        "It is the largest structure on Earth built by living organisms.",
+        "Coral bleaching events have damaged large sections of the reef since the 1990s.",
+        "The reef supports thousands of species of fish and molluscs.",
+    ],
+    "Trans-Siberian Railway": [
+        "The Trans-Siberian Railway links the Russian capital with the Pacific port of Vladivostok.",
+        "A full journey covers more than nine thousand kilometres and crosses eight time zones.",
+        "Construction began in 1891 and took a quarter of a century.",
+        "Branch lines reach into Mongolia and northern China.",
+    ],
+    "Aurora borealis": [
+        "The aurora borealis appears when charged solar particles strike the upper atmosphere.",
+        "Displays are most frequent in a ring around the magnetic pole.",
+        "Green light comes from oxygen at about one hundred kilometres altitude.",
+        "Strong geomagnetic storms push the glow far south of its usual range.",
+    ],
+    "Sourdough bread": [
+        "Sourdough bread rises on a culture of wild yeast and lactic acid bacteria.",
+        "Bakers keep the culture alive by regular feeding with flour and water.",
+        "The long fermentation gives the crumb its characteristic tang.",
+        "Some bakery cultures have been maintained for over a century.",
+    ],
+    "Mount Kilimanjaro": [
+        "Mount Kilimanjaro is the highest free-standing mountain in the world.",
+        "Its summit glaciers have shrunk dramatically over the past century.",
+        "Climbers pass through five distinct climate zones on the ascent.",
+        "The mountain is a dormant volcano with three cones.",
+    ],
+    "Honeybee waggle dance": [
+        "Forager honeybees communicate the direction of food with a figure-eight dance.",
+        "The angle of the dance encodes the bearing relative to the sun.",
+        "The duration of the waggle phase signals the distance to the source.",
+        "The behaviour was decoded in experiments during the 1940s.",
+    ],
+    "Venice canals": [
+        "Venice is built on more than a hundred small islands in a lagoon.",
+        "Canals serve as streets, with boats replacing cars entirely.",
+        "Seasonal high tides regularly flood the lowest squares of the city.",
+        "A system of movable barriers now guards the lagoon inlets.",
+    ],
+    "Halley's Comet": [
+        "Halley's Comet returns to the inner solar system about every seventy-six years.",
+        "Its appearance in 1066 was embroidered into the Bayeux Tapestry.",
+        "The comet's nucleus is a dark, peanut-shaped body of ice and dust.",
+        "Its next return is expected in 2061.",
+    ],
+    "Angkor Wat": [
+        "Angkor Wat is the largest religious monument in the world by land area.",
+        "It was built in the twelfth century as a state temple.",
+        "The complex is surrounded by a moat nearly two hundred metres wide.",
+        "Its five towers represent the peaks of a sacred mountain.",
+    ],
+    "Monarch butterfly migration": [
+        "Monarch butterflies migrate thousands of kilometres between Canada and central Mexico.",
+        "No single butterfly completes the round trip; generations relay the journey.",
+        "The insects overwinter in dense clusters on mountain fir trees.",
+        "Logging and habitat loss threaten the wintering sites.",
+    ],
+    "Gutenberg printing press": [
+        "The movable-type printing press spread through Europe in the late fifteenth century.",
+        "Early printed books imitated the look of handwritten manuscripts.",
+        "Print shops became gathering points for scholars and merchants.",
+        "Cheap printed pamphlets transformed political and religious debate.",
+    ],
+    "Sahara Desert": [
+        "The Sahara is the largest hot desert on Earth.",
+        "Rock art in its mountains records a greener past with rivers and cattle.",
+        "Dust from its basins fertilizes soils as far away as the Amazon.",
+        "Daytime and nighttime temperatures can differ by thirty degrees.",
+    ],
+    "Panama Canal": [
+        "The Panama Canal cuts the sailing distance between the two oceans by thousands of kilometres.",
+        "Ships are lifted over the isthmus through a series of locks.",
+        "An artificial lake supplies the water that operates the lock chambers.",
+        "A wider set of locks opened in 2016 for larger vessels.",
+    ],
+    "Chess openings": [
+        "Chess opening theory catalogues thousands of named move sequences.",
+        "Gambits sacrifice material early for rapid development.",
+        "Modern engines have revived lines once dismissed as unsound.",
+        "Top players prepare novelties many moves deep before tournaments.",
+    ],
+    "Glass blowing": [
+        "Glass blowing shapes molten glass on the end of a hollow pipe.",
+        "The craft emerged along the eastern Mediterranean two thousand years ago.",
+        "Furnaces must hold the melt above a thousand degrees.",
+        "Repeated reheating keeps the material workable during shaping.",
+    ],
+    "Coffee cultivation": [
+        "Coffee grows best at altitude in the tropics, between frost and heat.",
+        "The two dominant cultivated species differ sharply in taste and caffeine.",
+        "Berries are picked, pulped, fermented, and dried before roasting.",
+        "Leaf rust fungus periodically devastates entire growing regions.",
+    ],
+    "Tides": [
+        "Ocean tides follow the combined pull of the moon and sun.",
+        "Most coasts see two high waters a day, though some see only one.",
+        "The highest tidal range on Earth exceeds fifteen metres.",
+        "Tidal currents can run faster than a rowing boat in narrow straits.",
+    ],
+    "Morse code": [
+        "Morse code encodes letters as sequences of short and long signals.",
+        "Skilled operators read transmissions by ear at high speed.",
+        "The distress call of three shorts, three longs, three shorts is universally known.",
+        "Maritime services retired routine Morse traffic at the end of the 1990s.",
+    ],
+    "Icelandic geysers": [
+        "Iceland's geothermal fields spout boiling water high into the air.",
+        "The word geyser itself comes from an Icelandic spring's name.",
+        "Eruptions occur when superheated water flashes to steam underground.",
+        "Geothermal heat also warms most homes in the country.",
+    ],
+    "Silk Road": [
+        "The Silk Road was a web of caravan routes linking China with the Mediterranean.",
+        "Goods, religions, and technologies travelled in both directions.",
+        "Oasis towns grew rich on the passing trade.",
+        "Sea routes eventually eclipsed the overland paths.",
+    ],
+    "Origami": [
+        "Origami folds a single square of paper into sculpture without cuts or glue.",
+        "The crane is the art's most recognised traditional figure.",
+        "Mathematical folding theory now informs spacecraft and medical design.",
+        "Competition folders work from crease patterns of extraordinary complexity.",
+    ],
+    "Redwood forests": [
+        "Coast redwoods are the tallest trees on Earth, exceeding one hundred metres.",
+        "They harvest fog through their needles during dry summers.",
+        "Some individual trees are more than two thousand years old.",
+        "Less than five percent of the original old-growth forest remains.",
+    ],
+    "Volcanic lightning": [
+        "Ash plumes from explosive eruptions can generate their own lightning.",
+        "Colliding ash particles build electrical charge inside the plume.",
+        "The flashes help monitors track eruptions in remote darkness.",
+        "Some storms within plumes produce thousands of strikes an hour.",
+    ],
+    "Dead Sea": [
+        "The Dead Sea lies at the lowest land elevation on Earth.",
+        "Its water is nearly ten times saltier than the open ocean.",
+        "Swimmers float effortlessly on the dense brine.",
+        "The shoreline has been dropping by about a metre each year.",
+    ],
+    "Carrier pigeons": [
+        "Homing pigeons navigate hundreds of kilometres back to their lofts.",
+        "Armies used them to carry messages through both world wars.",
+        "Several birds received medals for deliveries under fire.",
+        "Their navigation appears to combine magnetic sensing with landmarks.",
+    ],
+    "Northern fur seals": [
+        "Northern fur seals breed on a handful of cold Pacific islands.",
+        "Males fast for weeks while defending beach territories.",
+        "Their dense underfur once drove a ruinous commercial hunt.",
+        "Pups learn to swim only weeks after birth.",
+    ],
+    "Stained glass": [
+        "Medieval stained glass windows taught scripture to congregations who could not read.",
+        "Colours come from metal oxides melted into the glass itself.",
+        "Lead strips hold the cut pieces in the design.",
+        "Restorers still use techniques documented eight centuries ago.",
+    ],
+    "Bioluminescent bays": [
+        "A few sheltered bays glow blue at night when the water is disturbed.",
+        "The light comes from dense blooms of single-celled dinoflagellates.",
+        "Each organism flashes when jostled, an ancient startle defence.",
+        "Artificial light and pollution dim the displays near towns.",
+    ],
+    "Alpine avalanches": [
+        "Most avalanches release on slopes between thirty and forty-five degrees.",
+        "Buried weak layers in the snowpack fail under the weight above.",
+        "Rescue beacons transmit a signal searchers can home in on.",
+        "Controlled explosions bring down unstable slopes above roads.",
+    ],
+    "Fermentation of tea": [
+        "Dark teas gain their character from months of microbial fermentation.",
+        "Pressed cakes of aged leaves were once currency along trade routes.",
+        "Storage conditions change the flavour year by year.",
+        "Collectors prize well-aged cakes the way others prize wine.",
+    ],
+    "Lighthouse keepers": [
+        "Before automation, keepers tended lamps through the night in shifts.",
+        "Clockwork mechanisms rotated the great lenses and had to be wound by hand.",
+        "Supply boats reached offshore stations only in calm weather.",
+        "The last staffed lighthouses were automated in the 1990s.",
+    ],
+    "Sequoia fire ecology": [
+        "Giant sequoia cones open and release seed in the heat of ground fires.",
+        "Thick bark insulates mature trunks from the flames.",
+        "A century of fire suppression let fuels build dangerously.",
+        "Managers now reintroduce controlled burns to the groves.",
+    ],
+    "Antarctic ice cores": [
+        "Ice cores preserve air bubbles from hundreds of thousands of years ago.",
+        "Layers can be counted like tree rings near the surface.",
+        "Drilling camps operate through the brief polar summer.",
+        "The oldest continuous core records eight hundred thousand years of climate.",
+    ],
+    "Harbor porpoises": [
+        "Harbor porpoises are among the smallest of the toothed whales.",
+        "They surface with a quick rolling motion and a puffing breath.",
+        "Gillnet entanglement is their greatest hazard.",
+        "Acoustic pingers on nets reduce accidental catches.",
+    ],
+    "Wind turbines": [
+        "Modern turbine blades sweep circles wider than a football pitch.",
+        "Output rises with the cube of wind speed up to a rated limit.",
+        "Offshore farms reach stronger and steadier winds.",
+        "Gearless designs reduce maintenance atop the towers.",
+    ],
+    "Paper wasps": [
+        "Paper wasps chew wood fibre into the pulp that forms their nests.",
+        "Each cell of the comb hangs open downward.",
+        "Colonies are founded each spring by a single mated queen.",
+        "Facial markings let some species recognise nestmates individually.",
+    ],
+    "Canal locks": [
+        "A canal lock lifts boats between water levels in an enclosed chamber.",
+        "Gates at each end hold back the higher pool.",
+        "Gravity alone moves the water through sluices.",
+        "Flights of consecutive locks climb entire hillsides.",
+    ],
+    "Desert varnish": [
+        "Desert varnish is the dark sheen that coats exposed rock in arid lands.",
+        "It accumulates over thousands of years from windblown clay and microbes.",
+        "Ancient artists carved petroglyphs through the coating.",
+        "Its layers can be read as a record of past climate.",
+    ],
+    "Murmurations": [
+        "Starling flocks wheel in coordinated clouds of thousands at dusk.",
+        "Each bird tracks only its half-dozen nearest neighbours.",
+        "The shifting shapes confuse falcons hunting the flock.",
+        "Roosts assemble the same displays night after night in winter.",
+    ],
+    "Maple syrup": [
+        "Maple sap runs when freezing nights alternate with mild days.",
+        "Roughly forty litres of sap boil down to one litre of syrup.",
+        "Producers grade syrup by colour and strength of flavour.",
+        "Vacuum tubing has largely replaced buckets in large sugarbushes.",
+    ],
+    "Mangrove forests": [
+        "Mangroves grow where salt water would kill most trees.",
+        "Their stilt roots trap sediment and build new land.",
+        "The tangled shallows shelter juvenile fish from predators.",
+        "Coastal communities rely on them as storm buffers.",
+    ],
+    "Pipe organs": [
+        "A large pipe organ may contain tens of thousands of pipes.",
+        "Ranks of pipes imitate flutes, strings, and brass.",
+        "Wind pressure is held steady by regulated bellows.",
+        "Organists combine ranks with drawknobs called stops.",
+    ],
+    "Fjords": [
+        "Fjords are drowned glacial valleys with walls that plunge into the sea.",
+        "A shallow sill at the mouth often traps deep, still water inside.",
+        "The steep sides create some of the world's highest waterfalls.",
+        "Cold-water corals thrive in their dark depths.",
+    ],
+    "Atacama Desert": [
+        "Parts of the Atacama have recorded no rainfall in living memory.",
+        "Its clear, dry skies host the world's largest telescope arrays.",
+        "Salt flats there hold much of the planet's lithium.",
+        "Fog-catching nets supply water to coastal settlements.",
+    ],
+    "Honey fungus": [
+        "A single honey fungus colony can spread across square kilometres underground.",
+        "One individual in Oregon ranks among the largest organisms known.",
+        "Black bootlace-like cords carry the fungus between trees.",
+        "It is both a feared tree killer and a forest recycler.",
+    ],
+    "Steel pan drums": [
+        "Steel pans were first hammered from oil barrels in Trinidad.",
+        "Each note is a tuned region of the concave drum surface.",
+        "Bands of dozens of players perform arranged calypso and classics.",
+        "The instrument emerged in the 1930s and 1940s street carnivals.",
+    ],
+    "Java Sea trade winds": [
+        "Seasonal monsoon winds reverse direction over the Java Sea twice a year.",
+        "Traditional traders timed voyages to ride each monsoon.",
+        "The winds carried spices west for centuries before steamships.",
+        "Modern sailors still plan passages around the reversal.",
+    ],
+}
