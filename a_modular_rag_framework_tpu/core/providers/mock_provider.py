@@ -424,7 +424,9 @@ class MockProvider:
         # the branch only fires when the SENTENCE has a born-clause, so a
         # broad trigger costs nothing on non-birth sentences
         if any(w in ql for w in ("where", "city", "town", "village",
-                                 "place", "birth", "born")):
+                                 "place", "birth", "born", "come from",
+                                 "municipality", "estate", "farm",
+                                 "district")):
             if "city" in ql:
                 # "born in the Shinagawa ward of Tokyo" — the CITY is the
                 # object of the of-phrase, the ward is a sub-division

@@ -36,6 +36,11 @@ try:
 except ImportError:  # pre-extension checkouts
     EXTENSIONS, NEW_CHAINS, DISTRACTOR_DOCS = {}, [], {}
 
+try:
+    from natural_corpus_data3 import EXTRA_QUESTIONS  # noqa: E402
+except ImportError:
+    EXTRA_QUESTIONS = {}
+
 
 def _person_sents(person: str, base) -> list:
     ext = EXTENSIONS.get(person, {})
@@ -83,6 +88,31 @@ def build_samples(n_distractors: int = 8, seed: int = 0):
             for q in qa["questions"]:
                 rows.append((_chain_for_question(chains, q), q,
                              qa["answer"], qa["answer_sid"]))
+
+    # family-keyed extra phrasings (natural_corpus_data3): each attaches
+    # to the person's first qa of that family (base birthplace included)
+    for person, fams in EXTRA_QUESTIONS.items():
+        chains = by_person.get(person)
+        if not chains:
+            continue
+        fam_qa = {}
+        for c in chains:
+            if "answer" in c:
+                fam_qa.setdefault("birthplace",
+                                  (c["answer"], c["answer_sid"]))
+            for qa in c.get("qa", []):
+                fam_qa.setdefault(qa.get("family"),
+                                  (qa["answer"], qa["answer_sid"]))
+        for qa in EXTENSIONS.get(person, {}).get("qa", []):
+            fam_qa.setdefault(qa.get("family"),
+                              (qa["answer"], qa["answer_sid"]))
+        for fam, qs in fams.items():
+            if fam not in fam_qa:
+                continue
+            answer, answer_sid = fam_qa[fam]
+            for q in qs:
+                rows.append((_chain_for_question(chains, q), q,
+                             answer, answer_sid))
 
     rng = np.random.default_rng(seed)
     samples = []

@@ -30,6 +30,11 @@ try:
 except ImportError:  # pre-extension checkouts
     EXTENSIONS, NEW_CHAINS, DISTRACTOR_DOCS = {}, [], {}
 
+try:
+    from natural_corpus_data3 import EXTRA_QUESTIONS  # noqa: E402
+except ImportError:
+    EXTRA_QUESTIONS = {}
+
 from a_modular_rag_framework_tpu.core.providers.mock_provider import (  # noqa: E402
     MockProvider,
 )
@@ -71,6 +76,7 @@ def check_qa(person, work, link_sent, sents, qa, problems, seen_q):
 def main() -> None:
     problems: list = []
     seen_q: set = set()
+    fam: dict = {}
     persons = {}
 
     for c in CHAINS:
@@ -103,6 +109,38 @@ def main() -> None:
         for qa in ext.get("qa", []):
             check_qa(person, c["work"], link, sents, qa, problems, seen_q)
 
+    by_person = {}
+    for c in all_chains:
+        by_person.setdefault(c["person"], []).append(c)
+    for person, fams in EXTRA_QUESTIONS.items():
+        chains = by_person.get(person)
+        if not chains:
+            problems.append(f"extra questions for unknown person {person!r}")
+            continue
+        fam_qa = {}
+        for c in chains:
+            if "answer" in c:
+                fam_qa.setdefault("birthplace",
+                                  (c, c["answer"], c["answer_sid"]))
+            for qa in c.get("qa", []):
+                fam_qa.setdefault(qa.get("family"),
+                                  (c, qa["answer"], qa["answer_sid"]))
+        for qa in EXTENSIONS.get(person, {}).get("qa", []):
+            fam_qa.setdefault(qa.get("family"),
+                              (chains[0], qa["answer"], qa["answer_sid"]))
+        for fam_name, qs in fams.items():
+            if fam_name not in fam_qa:
+                problems.append(f"{person}: extra questions for family "
+                                f"{fam_name!r} with no qa of that family")
+                continue
+            c, answer, answer_sid = fam_qa[fam_name]
+            sents = full_person_sents(person, c["person_sents"])
+            link = c["work_sents"][c["link_sid"]]
+            check_qa(person, c["work"], link, sents,
+                     {"answer_sid": answer_sid, "answer": answer,
+                      "questions": qs}, problems, seen_q)
+            fam[fam_name] = fam.get(fam_name, 0) + len(qs)
+
     for title, sents in DISTRACTOR_DOCS.items():
         if len(sents) < 2:
             problems.append(f"distractor {title!r}: fewer than 2 sentences")
@@ -114,7 +152,6 @@ def main() -> None:
     n_sents += sum(len(c["person_sents"]) + len(c["work_sents"])
                    for c in NEW_CHAINS)
     n_sents += sum(len(s) for s in DISTRACTOR_DOCS.values())
-    fam = {}
     for c in all_chains:
         for qa in c.get("qa", []):
             fam[qa.get("family", "?")] = fam.get(qa.get("family", "?"), 0) \

@@ -817,7 +817,7 @@ EXTENSIONS = {
                  "The creator of the Macintosh co-founded which company in his family's garage?",
                  "What company was co-founded in a garage by the man behind the Macintosh?",
              ]},
-            {"answer_sid": 3, "answer": "Pixar", "family": "organization",
+            {"answer_sid": 3, "answer": "Pixar", "family": "acquisition",
              "questions": [
                  "Which animation studio did the creator of the Macintosh buy?",
                  "The creator of the Macintosh bought which animation studio?",
