@@ -154,11 +154,32 @@ def ground_answer(question: str, answer: str,
     if not holders:
         return out
 
-    # question entities: capitalized multi-char spans of the question
+    # a span of sentence length is a non-answer (the extractive fallback
+    # echoing a whole evidence line) — trivially "grounded", never an
+    # answer span; flag as uncovered so the retry loop gets a shot
+    if len(span.split()) >= 10:
+        out["non_extractive"] = True
+        return out
+
+    # question entities: capitalized multi-char spans of the question,
+    # PLUS any evidence doc whose title appears in the question — the
+    # topic is often lowercase in natural questions ("the discoverer of
+    # polonium") and stray proper adjectives ("Russian") must not anchor
+    # on their own when a real topic title is present
     q_ents = [e.lower() for e in re.findall(
         r"(?<![\w'])[A-Z][\w'\-]*(?: [A-Z][\w'\-]*)*", question or "")
         if len(e) >= 3]
     q_ents = [e for e in q_ents if _stemset(e) - {"the"}]
+    ql = (question or "").lower()
+    title_ents = []
+    for title, _ in docs:
+        main = title.split(" (")[0].strip().lower()
+        if len(main) >= 3 and main in ql and main not in title_ents:
+            title_ents.append(main)
+    if title_ents:
+        q_ents = title_ents + [e for e in q_ents
+                               if any(e in t or t in e
+                                      for t in title_ents)]
 
     def names_q(title: str, text: str) -> bool:
         blob = f"{title} ‖ {text}".lower()
@@ -529,6 +550,11 @@ class VerifierAgentRulesLLM:
                 fine_verdict = "FAIL-UNSUPPORTED"
                 l_issues = [*l_issues,
                             "Answer span not found in any evidence."]
+            elif grounding.get("non_extractive"):
+                fine_verdict = "INCONCLUSIVE"
+                l_issues = [*l_issues,
+                            "Answer echoes a whole evidence sentence "
+                            "instead of an extracted span."]
             elif not (grounding["chain_anchored"]
                       or grounding["ask_covered"]):
                 fine_verdict = "INCONCLUSIVE"

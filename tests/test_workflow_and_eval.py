@@ -84,8 +84,11 @@ def test_retry_loop_fires_once_on_failure():
     verifier = FailingThenPassingVerifier()
     final, retriever, reasoner = run_workflow(verifier)
     result = final["result"]
-    # claim retrieval ran with the joined claims as the query
-    assert any("the sky is green; water is wet" == q for q in retriever.calls)
+    # claim retrieval ran with the question + joined claims as the query
+    # (the question stays in: claims from a wrong answer alone steer the
+    # re-retrieval to the wrong answer's neighborhood)
+    assert any("q?; the sky is green; water is wet" == q
+               for q in retriever.calls)
     assert reasoner.calls == 2          # re-reasoned after retry
     assert verifier.calls == 2          # re-verified, then packed
     assert result["retry_round"] == 1
