@@ -1003,14 +1003,18 @@ def natural_block() -> dict:
     from a_modular_rag_framework_tpu.index.builder import build_packed_index
     from a_modular_rag_framework_tpu.index.corpus import SentenceCorpus
 
-    samples = json.loads(path.read_text())
-    corpus = SentenceCorpus.from_hotpotqa(samples)
+    all_samples = json.loads(path.read_text())
+    corpus = SentenceCorpus.from_hotpotqa(all_samples)
     # index_titles=True is the correct operating point for natural
     # discourse (a doc's later sentences rarely repeat its subject);
     # the no_titles row quantifies that choice on the same corpus.
     idx = build_packed_index(corpus, index_titles=True)
-    out = {"samples": len(samples), "passages": idx.n_docs,
-           "index_titles": True}
+    # the corpus grew to 1,015 questions in round 5; the INDEX covers the
+    # whole corpus, but the per-row eval slice is capped so three rows x
+    # two passes stay inside the bench budget (deterministic prefix)
+    samples = all_samples[:512]
+    out = {"samples": len(all_samples), "eval_slice": len(samples),
+           "passages": idx.n_docs, "index_titles": True}
     B = 256
     # parity also pins hop2_graph_window=None: h2w1's recall-neutrality
     # was A/B'd on the synthetic corpora only, so the reference-parity row
@@ -1043,7 +1047,7 @@ def natural_block() -> dict:
     except Exception as e:  # pragma: no cover
         out["no_titles"] = {"error": repr(e)[:160]}
     try:
-        out.update(natural_e2e_block(samples))
+        out.update(natural_e2e_block(all_samples))
     except Exception as e:  # pragma: no cover
         out["e2e"] = {"error": repr(e)[:160]}
     return out

@@ -62,7 +62,7 @@ def main() -> None:
         idx, samples, _ = build_or_load_index(n, cache, collide=is_scale)
         enc = None
         if is_scale:
-            enc, _ = attach_learned(idx, cache)
+            enc, _, _ = attach_learned(idx, cache)
         # baseline must explicitly pin hop2_graph_window=None: bench's
         # make_engine now defaults it to 1, so an empty-override arm would
         # silently measure h2w1 against itself (advisor r4, medium)
