@@ -74,6 +74,15 @@ class EngineConfig:
     # cross-doc 2-hop expansion hop-1 needs — at scale the second wave is
     # a large share of the program (multihop._prep_and_dispatch_hop2).
     hop2_graph_window: Optional[int] = None
+    # iterative 2-hop mode: bridge-entity budget for the HOP-2 query
+    # construction (None = multihop's default of 4 bridges / 3 query
+    # variants). Hop-2 dispatches 1 query + (bridges-1) expansion
+    # variants, and the variant bucket E pads to a power of two — the
+    # default's 3 variants run the hop-2 BM25 phase at E=4, 4x hop-1's
+    # sort width with one row always empty. 2 bridges -> E=2 halves the
+    # hop-2 text-channel work; recall impact is corpus-dependent and must
+    # be measured (tools/profile_iterative_scale.py A/Bs it).
+    hop2_max_bridges: Optional[int] = None
     include_entity_graph: bool = True
     alpha_text: float = 0.4
     alpha_graph: float = 0.2

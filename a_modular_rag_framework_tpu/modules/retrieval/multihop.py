@@ -129,7 +129,7 @@ def iterative_retrieve(
     hop1_inspect: int = 20,
     hop_decay: float = 0.5,
     hop2_reserve: Optional[int] = None,
-    max_bridge_entities: int = 4,
+    max_bridge_entities: Optional[int] = None,
     expansions: Optional[Sequence[Sequence[str]]] = None,
     seed_rows: Optional[Sequence[Sequence[int]]] = None,
     graph_window: Optional[int] = None,
@@ -161,7 +161,7 @@ def iterative_retrieve_pipelined(
     hop1_inspect: int = 20,
     hop_decay: float = 0.5,
     hop2_reserve: Optional[int] = None,
-    max_bridge_entities: int = 4,
+    max_bridge_entities: Optional[int] = None,
     graph_window: Optional[int] = None,
     trace_id: str = "",
 ):
@@ -279,12 +279,18 @@ def _prep_and_dispatch_hop2(
     *,
     top_k: int,
     hop1_inspect: int,
-    max_bridge_entities: int,
+    max_bridge_entities: Optional[int],
     graph_window: Optional[int],
     trace_id: str,
 ):
     """Stage 2: bridge-entity extraction over hop-1 hits + async hop-2
     dispatch. Returns ``(ctx, pending_or_None)``."""
+    # None = engine-config default (EngineConfig.hop2_max_bridges), else 4:
+    # every caller (engine eval, pipelined loop, QueryServer) picks up a
+    # tuned bridge budget without plumbing it through each surface
+    if max_bridge_entities is None:
+        max_bridge_entities = getattr(
+            getattr(engine, "config", None), "hop2_max_bridges", None) or 4
     ids1 = np.asarray(r1.hits.ids)
     scores1 = np.asarray(r1.hits.scores)
     norms1 = np.asarray(r1.channel_norms)  # [3, B, K1]
@@ -452,7 +458,7 @@ class IterativePending:
     def __init__(self, engine, queries, p1, *, top_k: int,
                  hop1_inspect: int = 20, hop_decay: float = 0.5,
                  hop2_reserve: Optional[int] = None,
-                 max_bridge_entities: int = 4,
+                 max_bridge_entities: Optional[int] = None,
                  graph_window: Optional[int] = None, trace_id: str = ""):
         self._engine = engine
         self._queries = list(queries)

@@ -391,3 +391,68 @@ def test_native_bridge_gating(setup):
         assert _mh._native_bridge_for(_FakeIndex(), weird) is None
     finally:
         _mh._NATIVE_BRIDGES = orig
+
+
+def test_hop2_max_bridges_config_caps_variants():
+    """EngineConfig.hop2_max_bridges bounds the hop-2 dispatch's variant
+    count (1 query + expansions): the bridge budget flows from config when
+    the caller doesn't pass max_bridge_entities, and an explicit caller
+    value still wins. Fewer variants = smaller variant bucket E = less
+    hop-2 BM25 phase-1 sort width (the scale rows' tuning knob)."""
+    import numpy as np
+
+    from a_modular_rag_framework_tpu.core.dto import HitBatch
+    from a_modular_rag_framework_tpu.engine.query_engine import QueryResult
+
+    class FakeCorpus:
+        # hop-1 doc names the question entity + THREE bridge titles
+        docs = ([{"title": "Alice Prior", "sent_id": 0,
+                  "text": "Alice Prior worked with Bob Quine and "
+                          "Carol Reyes and Dave Stone."}]
+                + [{"title": t, "sent_id": 0, "text": f"{t} info."}
+                   for t in ("Bob Quine", "Carol Reyes", "Dave Stone")])
+
+    class FakeIndex:
+        corpus = FakeCorpus()
+
+    class _Cfg:
+        hop2_max_bridges = None
+
+    class FakeEngine:
+        index = FakeIndex()
+        config = _Cfg()
+
+        def __init__(self):
+            self.h2_widths = []
+            self.calls = 0
+
+        def query_batch(self, queries, **kw):
+            self.calls += 1
+            if self.calls > 1:  # hop-2 dispatch
+                exp = kw.get("expansions") or [[] for _ in queries]
+                self.h2_widths.append(max(1 + len(e) for e in exp))
+            k = kw.get("top_k", 10)
+            ids = np.arange(len(FakeCorpus.docs), dtype=np.int32)[None, :k]
+            scores = np.linspace(1.0, 0.5, ids.shape[1],
+                                 dtype=np.float32)[None]
+            return QueryResult(
+                hits=HitBatch(ids=ids, scores=scores),
+                channel_norms=np.zeros((3, 1, ids.shape[1]), np.float32),
+            )
+
+    q = ["Where was the collaborator of Alice Prior born?"]
+
+    eng = FakeEngine()
+    iterative_retrieve(eng, q, top_k=4)
+    assert eng.h2_widths == [3], f"default bridge budget: {eng.h2_widths}"
+
+    eng = FakeEngine()
+    eng.config.hop2_max_bridges = 2
+    iterative_retrieve(eng, q, top_k=4)
+    assert eng.h2_widths == [2], f"config bridge cap: {eng.h2_widths}"
+
+    # explicit caller value overrides config
+    eng = FakeEngine()
+    eng.config.hop2_max_bridges = 2
+    iterative_retrieve(eng, q, top_k=4, max_bridge_entities=1)
+    assert eng.h2_widths == [1], f"caller override: {eng.h2_widths}"
