@@ -83,6 +83,12 @@ class EngineConfig:
     # hop-2 text-channel work; recall impact is corpus-dependent and must
     # be measured (tools/profile_iterative_scale.py A/Bs it).
     hop2_max_bridges: Optional[int] = None
+    # iterative 2-hop mode: candidate-pool width for the HOP-2 program
+    # only (None = cfg.pool_k). Hop-2 queries name the bridge title, so
+    # the gold doc sits at the head of the BM25 pool and a narrower pool
+    # trims every pool-width stage of the hop-2 program at no recall
+    # (A/B'd by tools/profile_iterative_scale.py before flipping bench).
+    hop2_pool_k: Optional[int] = None
     include_entity_graph: bool = True
     alpha_text: float = 0.4
     alpha_graph: float = 0.2
@@ -910,12 +916,13 @@ class TPUQueryEngine:
         graph_window: Optional[int] = None,
         trace_id: str = "",
         prepruned: bool = False,
+        pool_k: Optional[int] = None,
     ) -> QueryResult:
         """Synchronous query: dispatch + fetch in one call."""
         pending = self.query_batch_async(
             queries, expansions=expansions, seed_rows=seed_rows,
             top_k=top_k, graph_window=graph_window, trace_id=trace_id,
-            prepruned=prepruned,
+            prepruned=prepruned, pool_k=pool_k,
         )
         pending._sync_timing = True
         return pending.result()
@@ -957,13 +964,21 @@ class TPUQueryEngine:
         graph_window: Optional[int] = None,
         trace_id: str = "",
         prepruned: bool = False,
+        pool_k: Optional[int] = None,
     ) -> "PendingQuery":
         """Dispatch the device program and return without blocking; call
         ``.result()`` on the returned handle to fetch the QueryResult.
 
         ``prepruned=True`` asserts the caller already applied
         ``prune_query`` (the iterative mode's native bridge emits pruned
-        hop-2 variants) — the per-batch re-prune is skipped."""
+        hop-2 variants) — the per-batch re-prune is skipped.
+
+        ``pool_k`` overrides ``cfg.pool_k`` for this dispatch (a narrower
+        candidate pool shrinks every pool-width stage: phase-1 sort,
+        doc-major rescore, dense gather, fusion sort). The iterative
+        mode's hop-2 program rides this (EngineConfig.hop2_pool_k):
+        hop-2 queries name the bridge title, so the gold doc sits at the
+        pool's head and the reference-parity width is dead work there."""
         cfg = self.config
         B_real = len(queries)
         if self._n == 0 or B_real == 0:
@@ -978,7 +993,8 @@ class TPUQueryEngine:
 
         k = min(int(top_k or cfg.top_k), self._n)
         window = cfg.graph_window if graph_window is None else max(0, int(graph_window))
-        pool_k = min(cfg.pool_k, self._n)
+        pool_k = min(int(pool_k or cfg.pool_k), self._n)
+        pool_k = max(pool_k, k)  # the pool must at least cover the output
         B = self._bucket(B_real)
 
         if self._high_df_terms and not prepruned:

@@ -431,6 +431,11 @@ def _prep_and_dispatch_hop2(
               trace_id=f"{trace_id}-hop2" if trace_id else "")
     if prepruned:
         kw["prepruned"] = True
+    # narrower hop-2 pool (EngineConfig.hop2_pool_k); only added when set
+    # so duck-typed / sharded engines without the kwarg stay compatible
+    hop2_pool = getattr(getattr(engine, "config", None), "hop2_pool_k", None)
+    if hop2_pool is not None:
+        kw["pool_k"] = int(hop2_pool)
     dispatch = getattr(engine, "query_batch_async", None)
     if dispatch is None:  # duck-typed engines without the async surface
         return ctx, _Done(engine.query_batch(hop2_queries, **kw))

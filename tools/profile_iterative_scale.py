@@ -140,6 +140,11 @@ def iterative_eval_mb(engine, samples, batch, mb, *, depth=2, trials=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one-m", action="store_true")
+    ap.add_argument("--no-learned", action="store_true",
+                    help="skip the learned-sidecar attach (its in-run "
+                         "rebuild costs up to 900s; the encoder changes "
+                         "doc embeddings, not program shape or cost, so "
+                         "throughput attribution is valid with hash64)")
     ap.add_argument("--out", default="docs/PROFILE_ITER_SCALE.json")
     args = ap.parse_args()
 
@@ -158,7 +163,8 @@ def main():
     results = {}
     idx1, samples1, _ = build_or_load_index(N_SAMPLES_100K, CACHE_DIR_100K,
                                             collide=True)
-    enc1, enc1_label, _ = attach_learned(idx1, CACHE_DIR_100K)
+    enc1, enc1_label = (None, "hash64") if args.no_learned else \
+        attach_learned(idx1, CACHE_DIR_100K)[:2]
     print(f"100k loaded, encoder={enc1_label}", flush=True)
     run_corpus("scale_100k", idx1, samples1, enc1, results)
 
@@ -176,7 +182,8 @@ def main():
             samplesl = SyntheticHotpotQALoader(
                 {"count": SCALE_BATCH, "seed": 0, "n_distractors": 8,
                  "collide_entities": True}).load()
-            encl, encl_label, _ = attach_learned(idxl, cache)
+            encl, encl_label = (None, "hash64") if args.no_learned else \
+        attach_learned(idxl, cache)[:2]
             print(f"1m loaded, encoder={encl_label}", flush=True)
             run_corpus("scale_1m", idxl, samplesl, encl, results)
 
