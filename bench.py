@@ -213,10 +213,21 @@ def make_engine(idx, batch, *, encoder=None, **overrides):
 
 def make_scale_engine(idx, encoder=None, **overrides):
     """Tuned operating point for the >=100k-row scale rows (see A/B note
-    at SCALE_BATCH above)."""
+    at SCALE_BATCH above).
+
+    hop2_graph_window=0 + hop2_pool_k=100: hop-2 queries name the bridge
+    title and carry the question's predicate tokens, so BM25 lands on the
+    gold sentence directly — the hop-2 graph wave and the parity pool
+    width are dead device work there. Measured on the real chip
+    (tools/probe_iterative_levers2.py, docs/PROBE_ITER_LEVERS2.json):
+    100k iterative 10,417 -> 11,783 q/s recall 0.9922 UNCHANGED; 1M
+    8,579 -> 8,960 q/s recall 1.0 UNCHANGED. (hop1_inspect=10 was also
+    A/B'd: +6% more at 100k but -0.008 recall — rejected, the bar is
+    recall-neutral speedups only.)"""
     cfg = dict(bm25_term_topm=SCALE_TERM_TOPM,
                graph_compact_cap=SCALE_COMPACT_CAP,
-               dense_impl="auto")  # no [B, N] at corpus scale
+               dense_impl="auto",  # no [B, N] at corpus scale
+               hop2_graph_window=0, hop2_pool_k=100)
     cfg.update(overrides)
     return make_engine(idx, SCALE_BATCH, encoder=encoder, **cfg)
 
