@@ -195,18 +195,21 @@ def make_engine(idx, batch, *, encoder=None, **overrides):
     # 0.4/0.2/0.4 (precision-optimal) — measured best-of-both on every
     # family (recall 0.996/0.992, MRR back to 0.36/0.40/0.49).
     # EngineConfig's default stays single-stage reference parity.
-    # hop2_graph_window=1: hop-2 queries already name the bridge entity,
-    # so the hop-2 program's cross-doc second graph wave is redundant
-    # device work. tools/ab_hop2.py measured (real chip, this corpus):
-    # recall@10 1.0 -> 1.0, iterative q/s 7758.7 -> 8189.7 (+5.6%).
-    # Single-pass rows are untouched (tests/test_multihop.py pins
-    # hop-2-only application; EngineConfig default stays None = parity).
+    # hop2_graph_window=0: hop-2 queries already name the bridge entity,
+    # so the hop-2 program's graph wave is redundant device work
+    # entirely. tools/probe_headline_h2.py measured (real chip, this
+    # corpus): recall@10 1.0 -> 1.0 at window 1 AND 0; iterative q/s
+    # 8143 (w1) -> 9030 (w0), +10.9%. (hop2_pool_k=100 was also A/B'd
+    # here: SLOWER at 13.2k — the pool trim only pays at >=100k rows,
+    # where make_scale_engine applies it.) Single-pass rows are
+    # untouched (tests/test_multihop.py pins hop-2-only application;
+    # EngineConfig default stays None = parity).
     cfg = dict(top_k=TOP_K, pool_k=200, graph_window=WINDOW,
                bm25_posting_cap=1024, batch_buckets=(batch,),
                query_df_ratio_max=0.05, bm25_term_topm=16,
                graph_wave_dtype="bfloat16", dense_impl="matmul",
                alpha_text=0.15, alpha_graph=0.70, alpha_dense=0.15,
-               order_alphas=(0.4, 0.2, 0.4), hop2_graph_window=1)
+               order_alphas=(0.4, 0.2, 0.4), hop2_graph_window=0)
     cfg.update(overrides)
     return TPUQueryEngine(idx, encoder=encoder, config=EngineConfig(**cfg))
 
@@ -691,7 +694,12 @@ def serving_block(idx, questions) -> dict:
                             graph_wave_dtype="bfloat16",
                             alpha_text=0.15, alpha_graph=0.70,
                             alpha_dense=0.15,
-                            order_alphas=(0.4, 0.2, 0.4)),
+                            order_alphas=(0.4, 0.2, 0.4),
+                            # recall-neutral hop-2 trim (probe_headline_h2:
+                            # recall 1.0 at w1 AND w0 on this corpus) —
+                            # the served-iterative row's hop-2 program
+                            # shrinks, cutting its per-cycle latency
+                            hop2_graph_window=0),
     )
     eng.query_batch(questions[:256])  # compile/warm the 256 bucket
     eng.query_batch(questions[:64])   # and the 64 bucket
